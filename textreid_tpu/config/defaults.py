@@ -1,0 +1,149 @@
+"""Default configuration tree.
+
+Schema-compatible with the reference defaults (`/root/reference/lib/config/
+defaults.py:1-144`) so the five reference experiment YAMLs under
+`configs/cuhkpedes/` merge without modification, plus a `TPU` section for
+mesh/precision/kernel knobs that have no reference counterpart.
+"""
+
+from .node import ConfigNode as CN
+
+_C = CN()
+_C.ROOT = "./"
+
+# ---------------------------------------------------------------------------
+# Dataset (reference defaults.py:9-12)
+# ---------------------------------------------------------------------------
+_C.DATASETS = CN()
+_C.DATASETS.TRAIN = ()
+_C.DATASETS.TEST = ()
+_C.DATASETS.USE_ONEHOT = True
+
+# ---------------------------------------------------------------------------
+# DataLoader (reference defaults.py:18-22)
+# ---------------------------------------------------------------------------
+_C.DATALOADER = CN()
+_C.DATALOADER.NUM_WORKERS = 4
+_C.DATALOADER.IMS_PER_ID = 4
+_C.DATALOADER.EN_SAMPLER = True
+
+# ---------------------------------------------------------------------------
+# Input (reference defaults.py:28-34)
+# ---------------------------------------------------------------------------
+_C.INPUT = CN()
+_C.INPUT.HEIGHT = 224
+_C.INPUT.WIDTH = 224
+_C.INPUT.PIXEL_MEAN = [0.485, 0.456, 0.406]
+_C.INPUT.PIXEL_STD = [0.229, 0.224, 0.225]
+_C.INPUT.PADDING = 10
+_C.INPUT.USE_AUG = False
+# Caption token budget. The reference hardcodes 105 in its loader
+# (`lib/data/build.py:27`), shadowing GRU.MAX_LENGTH; we surface it here.
+_C.INPUT.MAX_TEXT_LENGTH = 105
+
+# ---------------------------------------------------------------------------
+# Model (reference defaults.py:40-87)
+# ---------------------------------------------------------------------------
+_C.MODEL = CN()
+_C.MODEL.DEVICE = "tpu"
+_C.MODEL.VISUAL_MODEL = "resnet50"
+_C.MODEL.TEXTUAL_MODEL = "bilstm"
+_C.MODEL.NUM_CLASSES = 11003
+_C.MODEL.FREEZE = False
+_C.MODEL.WEIGHT = "imagenet"
+
+_C.MODEL.MOCO = CN()
+_C.MODEL.MOCO.K = 1024
+_C.MODEL.MOCO.M = 0.999
+_C.MODEL.MOCO.FC = True
+
+_C.MODEL.GRU = CN()
+_C.MODEL.GRU.ONEHOT = "yes"
+_C.MODEL.GRU.EMBEDDING_SIZE = 512
+_C.MODEL.GRU.NUM_UNITS = 512
+_C.MODEL.GRU.VOCABULARY_SIZE = 12000
+_C.MODEL.GRU.DROPOUT_KEEP_PROB = 0.7
+_C.MODEL.GRU.MAX_LENGTH = 100
+_C.MODEL.GRU.NUM_LAYER = 1
+
+_C.MODEL.RESNET = CN()
+_C.MODEL.RESNET.RES5_STRIDE = 2
+_C.MODEL.RESNET.RES5_DILATION = 1
+_C.MODEL.RESNET.PRETRAINED = None
+
+_C.MODEL.VIT = CN()
+_C.MODEL.VIT.PATCH_SIZE = 16
+_C.MODEL.VIT.WIDTH = 768
+_C.MODEL.VIT.LAYERS = 12
+_C.MODEL.VIT.HEADS = 12
+_C.MODEL.VIT.OUTPUT_DIM = 512
+
+_C.MODEL.EMBEDDING = CN()
+_C.MODEL.EMBEDDING.EMBED_HEAD = "simple"
+_C.MODEL.EMBEDDING.FEATURE_SIZE = 512
+_C.MODEL.EMBEDDING.DROPOUT_PROB = 0.3
+_C.MODEL.EMBEDDING.EPSILON = 0.0
+
+# ---------------------------------------------------------------------------
+# Solver (reference defaults.py:93-120)
+# ---------------------------------------------------------------------------
+_C.SOLVER = CN()
+_C.SOLVER.IMS_PER_BATCH = 16
+_C.SOLVER.NUM_EPOCHS = 100
+_C.SOLVER.CHECKPOINT_PERIOD = 1
+_C.SOLVER.EVALUATE_PERIOD = 1
+
+_C.SOLVER.OPTIMIZER = "Adam"
+_C.SOLVER.BASE_LR = 0.0002
+_C.SOLVER.BIAS_LR_FACTOR = 2
+
+_C.SOLVER.WEIGHT_DECAY = 0.00004
+_C.SOLVER.WEIGHT_DECAY_BIAS = 0.0
+
+_C.SOLVER.ADAM_ALPHA = 0.9
+_C.SOLVER.ADAM_BETA = 0.999
+_C.SOLVER.SGD_MOMENTUM = 0.9
+
+_C.SOLVER.LRSCHEDULER = "step"
+
+_C.SOLVER.WARMUP_FACTOR = 1.0 / 3
+_C.SOLVER.WARMUP_EPOCHS = 10
+_C.SOLVER.WARMUP_METHOD = "linear"
+
+_C.SOLVER.GAMMA = 0.1
+_C.SOLVER.STEPS = (500,)
+
+_C.SOLVER.POWER = 0.9
+_C.SOLVER.TARGET_LR = 0.0001
+
+# ---------------------------------------------------------------------------
+# Test (reference defaults.py:126-130)
+# ---------------------------------------------------------------------------
+_C.TEST = CN()
+_C.TEST.IMS_PER_BATCH = 16
+
+# ---------------------------------------------------------------------------
+# Precision (reference defaults.py:142-144; AMP_VERBOSE kept for compat)
+# ---------------------------------------------------------------------------
+_C.DTYPE = "float32"
+_C.AMP_VERBOSE = False
+
+# ---------------------------------------------------------------------------
+# TPU-native knobs (new — no reference counterpart)
+# ---------------------------------------------------------------------------
+_C.TPU = CN()
+# Data-parallel axis size. 0 = all visible devices.
+_C.TPU.DATA_PARALLEL = 0
+# Compute dtype for backbone matmuls/convs: "float32" or "bfloat16".
+_C.TPU.COMPUTE_DTYPE = "bfloat16"
+# Use Pallas kernels for the hot ops where available (falls back silently
+# to pure-XLA paths on CPU).
+_C.TPU.USE_PALLAS = True
+# Donate train-state buffers to the jitted step (saves HBM).
+_C.TPU.DONATE_STATE = True
+
+_C.SEED = 0
+
+
+def get_default_cfg() -> CN:
+    return _C.clone()

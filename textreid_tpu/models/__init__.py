@@ -1,0 +1,19 @@
+from . import losses
+from .gru import BiGRUEncoder, build_bigru
+from .m_resnet import ModifiedResNet, build_m_resnet
+from .model import TextReIDModel, build_model, build_textual_model, build_visual_model
+from .resnet import ResNet, build_resnet
+
+__all__ = [
+    "losses",
+    "BiGRUEncoder",
+    "build_bigru",
+    "ModifiedResNet",
+    "build_m_resnet",
+    "ResNet",
+    "build_resnet",
+    "TextReIDModel",
+    "build_model",
+    "build_visual_model",
+    "build_textual_model",
+]

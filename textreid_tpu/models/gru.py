@@ -1,0 +1,202 @@
+"""Bi-directional GRU text encoder.
+
+TPU-native re-design of the reference text branch
+(`/root/reference/lib/models/backbones/gru.py`):
+
+* The reference sorts the batch by length, packs, runs cuDNN GRU, and
+  unsorts (gru.py:66-82).  Sorting and packing are hostile to XLA's
+  static-shape compilation model, so here each direction is a masked
+  ``lax.scan`` over a fixed ``[B, T]`` token grid.  The backward
+  direction is fed a per-sample reversed sequence (position ``t`` reads
+  token ``len-1-t``), which reproduces packed-sequence semantics where
+  the reverse pass starts at each sample's own last valid token.
+* The input-side projections of all three gates for every timestep are
+  hoisted out of the scan into a single ``[B*T, E] x [E, 3H]`` matmul
+  (MXU-friendly); the scan body only performs the small recurrent
+  matmul and gate arithmetic.
+* Gate math matches ``torch.nn.GRU`` with ``bias=False``
+  (gru.py:36-43): ``r = sigma(W_ir x + W_hr h)``, ``z = sigma(W_iz x + W_hz h)``,
+  ``n = tanh(W_in x + r * (W_hn h))``, ``h' = (1-z) n + z h``.
+* Max-over-time pooling reproduces the reference exactly
+  (gru.py:62-64): positions at or beyond each sample's length contribute
+  **zero** (pad-packed output is zero there), so the pooled value is
+  ``max(out * valid_mask)`` — including the reference's quirk that an
+  all-negative channel pools to 0 whenever any padding exists.
+
+Token embedding follows gru.py:24-34: a learnable embedding table when
+``ONEHOT == "yes"``, otherwise a frozen lookup table (e.g. CLIP's token
+embedding loaded from ``clip_vocab_vit.npy``) with an optional Linear
+adapter when the table width differs from the GRU input width.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def torch_rnn_init(hidden_dim: int) -> Callable:
+    """torch GRU default init: U(-1/sqrt(H), 1/sqrt(H))."""
+    k = 1.0 / (hidden_dim**0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-k, maxval=k)
+
+    return init
+
+
+def gru_scan(
+    x_gates: Array,
+    w_h: Array,
+    h0: Array,
+    *,
+    reverse: bool = False,
+) -> Array:
+    """Run a single-direction GRU over precomputed input gates.
+
+    Args:
+      x_gates: ``[B, T, 3H]`` input-side gate pre-activations, gate order
+        ``(r, z, n)`` along the last axis (torch ``weight_ih`` layout).
+      w_h: ``[H, 3H]`` recurrent weight (transposed torch ``weight_hh``).
+      h0: ``[B, H]`` initial hidden state.
+      reverse: scan the time axis back-to-front.
+
+    Returns:
+      ``[B, T, H]`` hidden states for every timestep.
+    """
+    hidden = h0.shape[-1]
+
+    def step(h, xg):
+        hg = h @ w_h
+        r = jax.nn.sigmoid(xg[:, :hidden] + hg[:, :hidden])
+        z = jax.nn.sigmoid(xg[:, hidden : 2 * hidden] + hg[:, hidden : 2 * hidden])
+        n = jnp.tanh(xg[:, 2 * hidden :] + r * hg[:, 2 * hidden :])
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    xs = jnp.swapaxes(x_gates, 0, 1)  # [T, B, 3H] for scan
+    _, ys = jax.lax.scan(step, h0, xs, reverse=reverse)
+    return jnp.swapaxes(ys, 0, 1)  # [B, T, H]
+
+
+def reverse_padded(x: Array, lengths: Array) -> Array:
+    """Per-sample time reversal of the valid prefix: out[b, t] = x[b, len_b-1-t].
+
+    Positions ``t >= len_b`` hold out-of-prefix values and must be masked by
+    the caller.  Implemented as a gather with clipped indices (static shape).
+    """
+    seq = x.shape[1]
+    t_idx = jnp.arange(seq)[None, :]
+    src = jnp.clip(lengths[:, None] - 1 - t_idx, 0, seq - 1)
+    return jnp.take_along_axis(x, src[..., None], axis=1)
+
+
+class BiGRUEncoder(nn.Module):
+    """Bi-GRU over embedded tokens with masked max-over-time pooling."""
+
+    hidden_dim: int = 512
+    vocab_size: int = 12000
+    embed_size: int = 512
+    num_layers: int = 1
+    bidirectional: bool = True
+    use_onehot: str = "yes"
+    # Factory returning the frozen [vocab, table_width] lookup table when
+    # ``use_onehot != "yes"`` (e.g. CLIP token embeddings from
+    # clip_vocab_vit.npy).  Stored in the non-trainable "constants"
+    # collection at init time.
+    frozen_table_init: Optional[Callable[[], jnp.ndarray]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def out_channels(self) -> int:
+        return self.hidden_dim * 2 if self.bidirectional else self.hidden_dim
+
+    def embed_tokens(self, token_ids: Array) -> Array:
+        if self.use_onehot == "yes":
+            table = self.param(
+                "token_embedding",
+                nn.initializers.normal(stddev=1.0),
+                (self.vocab_size, self.embed_size),
+                self.dtype,
+            )
+            # torch nn.Embedding(padding_idx=0) zeroes the pad row.
+            table = table.at[0].set(0.0)
+            return jnp.take(table, token_ids, axis=0)
+
+        if self.frozen_table_init is not None:
+            init_fn = lambda: jnp.asarray(self.frozen_table_init(), self.dtype)  # noqa: E731
+        else:
+            # No external table supplied (e.g. unit tests): a fixed random
+            # table keeps shapes correct.
+            init_fn = lambda: jax.random.normal(  # noqa: E731
+                jax.random.PRNGKey(0), (self.vocab_size, self.embed_size), self.dtype
+            )
+        table = self.variable("constants", "frozen_token_table", init_fn).value
+        embedded = jnp.take(table, token_ids, axis=0)
+        if table.shape[-1] != self.embed_size:
+            embedded = nn.Dense(self.embed_size, dtype=self.dtype, name="embed_adapter")(
+                embedded
+            )
+        return embedded
+
+    @nn.compact
+    def __call__(self, token_ids: Array, lengths: Array) -> Array:
+        """token_ids: [B, T] int32, lengths: [B] int32 -> [B, out_channels]."""
+        x = self.embed_tokens(token_ids)
+        batch, seq, _ = x.shape
+        lengths = jnp.clip(lengths, 1, seq)
+
+        init = torch_rnn_init(self.hidden_dim)
+
+        def direction(inputs, name):
+            layer_in = inputs
+            for layer in range(self.num_layers):
+                in_dim = layer_in.shape[-1]
+                w_i = self.param(
+                    f"{name}_w_ih_l{layer}", init, (in_dim, 3 * self.hidden_dim), self.dtype
+                )
+                w_h = self.param(
+                    f"{name}_w_hh_l{layer}",
+                    init,
+                    (self.hidden_dim, 3 * self.hidden_dim),
+                    self.dtype,
+                )
+                x_gates = (layer_in.reshape(batch * seq, in_dim) @ w_i).reshape(
+                    batch, seq, 3 * self.hidden_dim
+                )
+                h0 = jnp.zeros((batch, self.hidden_dim), self.dtype)
+                layer_in = gru_scan(x_gates, w_h, h0)
+            return layer_in
+
+        out_fwd = direction(x, "fwd")
+        if self.bidirectional:
+            x_rev = reverse_padded(x, lengths)
+            out_bwd_rev = direction(x_rev, "bwd")
+            out_bwd = reverse_padded(out_bwd_rev, lengths)
+            out = jnp.concatenate([out_fwd, out_bwd], axis=-1)
+        else:
+            out = out_fwd
+
+        # Zero out t >= len, then max over time (reference gru.py:62-64
+        # max-pools the pad-packed output whose padded positions are zero).
+        valid = (jnp.arange(seq)[None, :] < lengths[:, None])[..., None]
+        out = jnp.where(valid, out, 0.0)
+        return jnp.max(out, axis=1)
+
+
+def build_bigru(cfg, frozen_table_init=None) -> BiGRUEncoder:
+    """Constructor mirroring the reference builder (gru.py:91-117)."""
+    return BiGRUEncoder(
+        hidden_dim=cfg.MODEL.GRU.NUM_UNITS,
+        vocab_size=cfg.MODEL.GRU.VOCABULARY_SIZE,
+        embed_size=cfg.MODEL.GRU.EMBEDDING_SIZE,
+        num_layers=cfg.MODEL.GRU.NUM_LAYER,
+        bidirectional=True,
+        use_onehot=cfg.MODEL.GRU.ONEHOT,
+        frozen_table_init=frozen_table_init,
+    )

@@ -1,0 +1,3 @@
+from .build import bias_mask, make_lr_schedule, make_optimizer
+
+__all__ = ["make_optimizer", "make_lr_schedule", "bias_mask"]
