@@ -1,0 +1,109 @@
+"""Evaluator tests: CMC/mAP on hand-checked cases, Jaccard rerank vs a
+brute-force set oracle, gallery dedupe (SURVEY.md section 4.1)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from textreid_tpu.evaluation.metrics import (
+    evaluation,
+    format_results_table,
+    get_unique_indices,
+    k_reciprocal,
+    rank,
+)
+
+
+class TestRank:
+    def test_hand_computed_cmc(self):
+        # 2 queries, 4 gallery items.
+        sim = jnp.array(
+            [
+                [0.9, 0.1, 0.8, 0.2],  # q0: ranked g0,g2,g3,g1
+                [0.1, 0.7, 0.2, 0.9],  # q1: ranked g3,g1,g2,g0
+            ]
+        )
+        q_pids = jnp.array([1, 2])
+        g_pids = jnp.array([3, 2, 1, 2])
+        # q0 match first at rank 2 (g2, pid1); q1 match at rank 1 (g3, pid2)
+        cmc, mean_ap, _ = rank(sim, q_pids, g_pids, topk=(1, 2, 4))
+        np.testing.assert_allclose(np.asarray(cmc), [50.0, 100.0, 100.0])
+        # AP(q0): one relevant at rank2 -> 1/2. AP(q1): rel at ranks1,2 -> (1+1)/2=1
+        np.testing.assert_allclose(float(mean_ap), 75.0, atol=1e-4)
+
+    def test_topk_fast_path_matches_full_sort(self):
+        rng = np.random.RandomState(3)
+        sim = jnp.asarray(rng.randn(20, 30).astype(np.float32))
+        q = jnp.asarray(rng.randint(0, 5, 20))
+        g = jnp.asarray(rng.randint(0, 5, 30))
+        full_cmc, _, _ = rank(sim, q, g, topk=(1, 5, 10), get_map=True)
+        fast_cmc, _ = rank(sim, q, g, topk=(1, 5, 10), get_map=False)
+        np.testing.assert_allclose(np.asarray(full_cmc), np.asarray(fast_cmc),
+                                   atol=1e-5)
+
+
+class TestKReciprocal:
+    def test_matches_bruteforce_jaccard(self):
+        """Oracle: python sets over argsort neighbor lists, exactly the
+        formulation the reference uses (evaluation.py:40-65)."""
+        rng = np.random.RandomState(0)
+        q = rng.randn(12, 8).astype(np.float32)
+        g = rng.randn(9, 8).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        g /= np.linalg.norm(g, axis=1, keepdims=True)
+        n, alpha = 5, 0.05
+
+        got = np.asarray(k_reciprocal(jnp.array(q), jnp.array(g), n, alpha))
+
+        qg = q @ g.T
+        gg = g @ g.T
+        qnn = np.argsort(-qg, axis=1)[:, :n]
+        gnn = np.argsort(-gg, axis=1)[:, :n]
+        want = np.zeros((12, 9))
+        for i in range(12):
+            for j in range(9):
+                a, b = set(qnn[i].tolist()), set(gnn[j].tolist())
+                want[i, j] = alpha * len(a & b) / len(a | b)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestDedupe:
+    def test_first_occurrence_kept_in_order(self):
+        ids = np.array([7, 3, 7, 9, 3, 1])
+        keep = get_unique_indices(ids)
+        np.testing.assert_array_equal(keep, [0, 1, 3, 5])
+        np.testing.assert_array_equal(ids[keep], [7, 3, 9, 1])
+
+
+class TestEvaluationEndToEnd:
+    def _toy(self):
+        rng = np.random.RandomState(1)
+        n, d = 24, 16
+        pids = np.repeat(np.arange(6), 4)
+        # Duplicate gallery images within identity: 2 unique images per pid.
+        image_ids = pids * 10 + (np.arange(n) % 2)
+        centers = rng.randn(6, d).astype(np.float32) * 3
+        img = centers[pids] + rng.randn(n, d).astype(np.float32) * 0.05
+        txt = centers[pids] + rng.randn(n, d).astype(np.float32) * 0.05
+        return img, txt, pids, image_ids
+
+    def test_clustered_embeddings_get_perfect_rank1(self):
+        img, txt, pids, image_ids = self._toy()
+        res = evaluation(img, txt, pids, pids, image_ids, topk=(1, 5, 10))
+        assert res["t2i"]["cmc"][0] == 100.0
+        assert res["i2t"]["cmc"][0] == 100.0
+        assert res["re_t2i"]["cmc"][0] == 100.0
+        # gallery deduped to 12 unique image ids
+        assert res["similarity"].shape == (24, 12)
+
+    def test_rerank_changes_similarity_but_is_bounded(self):
+        img, txt, pids, image_ids = self._toy()
+        res = evaluation(img, txt, pids, pids, image_ids)
+        # the rerank additive term is at most alpha
+        assert res["re_t2i"]["mAP"] >= 0.0
+        table = format_results_table(res)
+        assert "re_t2i" in table and "mAP" in table
+
+    def test_no_rerank_mode(self):
+        img, txt, pids, image_ids = self._toy()
+        res = evaluation(img, txt, pids, pids, image_ids, rerank=False)
+        assert "re_t2i" not in res

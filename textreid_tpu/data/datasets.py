@@ -1,0 +1,161 @@
+"""Annotation-backed datasets (CUHK-PEDES, ICFG-PEDES).
+
+Counterpart of `/root/reference/lib/data/datasets/cuhkpedes.py` and
+`concat_dataset.py`, torch-free.  Records follow the reference annotation
+schema (cuhkpedes.py:37-54): ``file_path`` (image under ``<root>/imgs``),
+``onehot`` (pre-tokenized token ids) or ``sentence``, ``id`` (person id) and
+``image_id``.  Unlike the reference — which pads captions inside the model
+(`gru.py:49-53`, the design wart called out in SURVEY.md section 3.4) — samples
+come out of ``__getitem__`` as fixed-shape numpy arrays ready for stacking.
+"""
+
+from __future__ import annotations
+
+import bisect
+import json
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+
+class CUHKPEDESDataset:
+    def __init__(
+        self,
+        root: str,
+        ann_file: str,
+        use_onehot: bool = True,
+        max_length: int = 105,
+        transforms=None,
+    ):
+        self.root = root
+        self.use_onehot = use_onehot
+        self.max_length = max_length
+        self.transforms = transforms
+        self.img_dir = os.path.join(root, "imgs")
+
+        with open(ann_file, "r") as f:
+            dataset = json.load(f)
+        self.dataset = dataset["annotations"]
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def _tokens(self, record) -> tuple:
+        """Return (ids[max_length] int32, true length clipped to max_length)."""
+        if self.use_onehot:
+            raw = np.asarray(record["onehot"], dtype=np.int32)
+        else:
+            raise ValueError(
+                "Raw-sentence records require a tokenizer; see "
+                "textreid_tpu.data.tokenizer.CLIPTokenizerAdapter"
+            )
+        length = min(len(raw), self.max_length)
+        out = np.zeros(self.max_length, dtype=np.int32)
+        out[:length] = raw[:length]
+        return out, length
+
+    def __getitem__(self, index: int) -> dict:
+        record = self.dataset[index]
+        img = Image.open(os.path.join(self.img_dir, record["file_path"])).convert(
+            "RGB"
+        )
+        if self.transforms is not None:
+            img = self.transforms(img)
+        token_ids, length = self._tokens(record)
+        return {
+            "pixels": img,  # [H, W, 3] float32 (post-transform)
+            "token_ids": token_ids,  # [max_length] int32
+            "length": np.int32(length),
+            "pid": np.int32(record["id"]),
+            "image_id": np.int32(record["image_id"]),
+            "index": np.int32(index),
+        }
+
+    def get_id_info(self, index: int):
+        record = self.dataset[index]
+        return record["image_id"], record["id"]
+
+
+class ICFGPEDESDataset(CUHKPEDESDataset):
+    """ICFG-PEDES uses the same annotation schema; listed as a reference
+    README TODO ('Experiments on other datasets')."""
+
+
+class ConcatDataset:
+    """Concatenation with ``get_id_info`` passthrough (reference
+    concat_dataset.py:13-23)."""
+
+    def __init__(self, datasets: Sequence):
+        assert datasets, "ConcatDataset needs at least one dataset"
+        self.datasets = list(datasets)
+        self.cumulative_sizes = np.cumsum([len(d) for d in self.datasets]).tolist()
+
+    def __len__(self) -> int:
+        return self.cumulative_sizes[-1]
+
+    def _locate(self, idx: int):
+        dataset_idx = bisect.bisect_right(self.cumulative_sizes, idx)
+        sample_idx = idx if dataset_idx == 0 else idx - self.cumulative_sizes[
+            dataset_idx - 1
+        ]
+        return dataset_idx, sample_idx
+
+    def __getitem__(self, idx: int):
+        d, s = self._locate(idx)
+        item = self.datasets[d][s]
+        item["index"] = np.int32(idx)
+        return item
+
+    def get_id_info(self, idx: int):
+        d, s = self._locate(idx)
+        return self.datasets[d].get_id_info(s)
+
+
+def make_synthetic_dataset(
+    out_dir: str,
+    num_identities: int = 8,
+    images_per_id: int = 4,
+    captions_per_image: int = 1,
+    image_size=(64, 32),
+    vocab_size: int = 100,
+    max_tokens: int = 20,
+    seed: int = 0,
+    split: str = "train",
+) -> str:
+    """Write a tiny CUHK-PEDES-schema dataset for tests/smoke runs.
+
+    Returns the dataset root (images under ``<root>/imgs``, annotations under
+    ``<root>/annotations/<split>.json``).
+    """
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(out_dir, "imgs")
+    ann_dir = os.path.join(out_dir, "annotations")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(ann_dir, exist_ok=True)
+
+    annotations = []
+    image_id = 0
+    for pid in range(num_identities):
+        for j in range(images_per_id):
+            fname = f"p{pid:03d}_{j}.jpg"
+            arr = rng.randint(0, 255, (*image_size, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(os.path.join(img_dir, fname))
+            for _ in range(captions_per_image):
+                n_tok = int(rng.randint(3, max_tokens))
+                tokens = rng.randint(1, vocab_size, size=n_tok).tolist()
+                annotations.append(
+                    {
+                        "file_path": fname,
+                        "onehot": tokens,
+                        "id": pid,
+                        "image_id": image_id,
+                    }
+                )
+            image_id += 1
+
+    ann_path = os.path.join(ann_dir, f"{split}.json")
+    with open(ann_path, "w") as f:
+        json.dump({"annotations": annotations}, f)
+    return out_dir
