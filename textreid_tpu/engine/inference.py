@@ -1,0 +1,109 @@
+"""Evaluation engine.
+
+Counterpart of `/root/reference/lib/engine/inference.py`: encode every
+(image, caption) pair with the eval path, assemble per-sample embeddings,
+and hand them to the ranking evaluator.  Differences by design:
+
+* one jitted fixed-shape encode program per loader (eval batches are padded
+  + masked — no ragged final batch, no recompiles);
+* multi-device merge is an all-gather of fixed-shape arrays implied by the
+  batch sharding, not the reference's pickle-based byte-tensor all_gather
+  (`lib/utils/comm.py:47-87`);
+* the similarity/CMC/mAP/rerank math runs on-device (evaluation/metrics.py).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..evaluation.metrics import evaluation, format_results_table
+from ..parallel.mesh import shard_batch
+from .state import TrainState
+from .steps import encode_step
+
+
+def compute_embeddings(model, state: TrainState, data_loader, mesh=None):
+    """Encode the whole loader; returns per-sample arrays ordered by dataset
+    index (reference compute_on_dataset, inference.py:14-26)."""
+
+    @jax.jit
+    def _encode(state, batch):
+        return encode_step(model, state, batch)
+
+    v_chunks, t_chunks, idx_chunks = [], [], []
+    pid_chunks, img_chunks = [], []
+    for batch in data_loader:
+        valid = batch.pop("valid")
+        device_batch = shard_batch(batch, mesh) if mesh is not None else batch
+        v, t = _encode(state, device_batch)
+        v = np.asarray(v)[valid]
+        t = np.asarray(t)[valid]
+        v_chunks.append(v)
+        t_chunks.append(t)
+        idx_chunks.append(batch["index"][valid])
+        pid_chunks.append(batch["pids"][valid])
+        img_chunks.append(batch["image_ids"][valid])
+
+    index = np.concatenate(idx_chunks)
+    order = np.argsort(index)
+    return {
+        "v_embed": np.concatenate(v_chunks)[order],
+        "t_embed": np.concatenate(t_chunks)[order],
+        "pids": np.concatenate(pid_chunks)[order],
+        "image_ids": np.concatenate(img_chunks)[order],
+    }
+
+
+def inference(
+    model,
+    state: TrainState,
+    data_loader,
+    dataset_name: str = "cuhkpedes-test",
+    output_folder: str = "",
+    save_data: bool = True,
+    rerank: bool = True,
+    topk=(1, 5, 10),
+    mesh=None,
+) -> float:
+    """Full eval protocol (reference inference.py:48-96).  Returns t2i CMC@1.
+
+    When ``output_folder`` holds ``inference_data.npz``, embeddings are not
+    recomputed (reference inference.py:64 / evaluation.py:85-95 replay).
+    """
+    logger = logging.getLogger("PersonSearch.inference")
+    cache = os.path.join(output_folder, "inference_data.npz") if output_folder else ""
+
+    if cache and os.path.exists(cache):
+        logger.info("Loading cached inference data from %s", cache)
+        data = np.load(cache)
+        embeds = {k: data[k] for k in
+                  ("v_embed", "t_embed", "pids", "image_ids")}
+    else:
+        n = len(data_loader.dataset)
+        logger.info("Start evaluation on %s (%d samples).", dataset_name, n)
+        start = time.time()
+        embeds = compute_embeddings(model, state, data_loader, mesh)
+        total = time.time() - start
+        logger.info(
+            "Total inference time: %.2fs (%.4f s/sample)", total, total / n
+        )
+        if cache and save_data and jax.process_index() == 0:
+            np.savez(cache, **embeds)
+
+    results = evaluation(
+        embeds["v_embed"],
+        embeds["t_embed"],
+        embeds["pids"],
+        embeds["pids"],
+        embeds["image_ids"],
+        topk=topk,
+        rerank=rerank,
+    )
+    logger.info("\n%s", format_results_table(results))
+    return results["t2i"]["cmc"][0]

@@ -1,0 +1,118 @@
+"""Training engine.
+
+Counterpart of `/root/reference/lib/engine/trainer.py:38-139`: the
+epoch x step loop with per-iteration telemetry (ETA, lr, losses), a
+per-epoch LR schedule step (trainer.py:121), periodic validation gating the
+"best" checkpoint on t2i Rank-1 (trainer.py:123-128) and periodic epoch
+checkpoints (trainer.py:130-131).
+
+TPU-native structure: the entire iteration body — both encoder forwards,
+the MoCo key/EMA/queue machinery, losses, backward and the optimizer
+update — is one jitted program over the global batch; host work is only
+data loading, lr scheduling (per epoch) and logging.
+"""
+
+from __future__ import annotations
+
+import datetime
+import logging
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..parallel.mesh import replicate_state, shard_batch
+from ..solver.build import set_learning_rate
+from .inference import inference
+from .steps import make_train_step
+
+
+def do_train(
+    cfg,
+    model,
+    state,
+    tx,
+    data_loader,
+    data_loader_val,
+    checkpointer,
+    meters,
+    lr_schedule,
+    arguments: dict,
+    mesh=None,
+):
+    logger = logging.getLogger("PersonSearch.trainer")
+    logger.info("Start training")
+
+    max_epoch = int(arguments.get("max_epoch", cfg.SOLVER.NUM_EPOCHS))
+    epoch = int(arguments.get("epoch", 0))
+    iteration = int(arguments.get("iteration", 0))
+    checkpoint_period = cfg.SOLVER.CHECKPOINT_PERIOD
+    evaluate_period = cfg.SOLVER.EVALUATE_PERIOD
+    steps_per_epoch = len(data_loader)
+    max_iter = max_epoch * steps_per_epoch
+
+    donate = (0,) if cfg.TPU.DONATE_STATE else ()
+    train_step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=donate)
+
+    if mesh is not None:
+        state = replicate_state(state, mesh)
+
+    best_top1 = float(arguments.get("best_top1", 0.0))
+    start_training_time = time.time()
+    end = time.time()
+
+    while epoch < max_epoch:
+        data_loader.set_epoch(epoch)
+        # Per-epoch LR (reference trainer.py:121 steps the scheduler per
+        # epoch; epoch e trains at lr(last_epoch = e) with 0-based epochs).
+        lr = lr_schedule(epoch)
+        state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
+
+        epoch += 1
+        arguments["epoch"] = epoch
+
+        for step, batch in enumerate(data_loader):
+            data_time = time.time() - end
+            iteration += 1
+            arguments["iteration"] = iteration
+
+            batch.pop("valid", None)
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            state, metrics = train_step(state, batch)
+            # Block for honest step timing (XLA dispatch is async).
+            metrics = {k: float(v) for k, v in metrics.items()}
+
+            batch_time = time.time() - end
+            end = time.time()
+            meters.update(time=batch_time, data=data_time, **metrics)
+
+            eta_seconds = meters.time.global_avg * (max_iter - iteration)
+            eta = datetime.timedelta(seconds=int(eta_seconds))
+            logger.info(
+                "eta: %s  epoch [%d][%d/%d]  %s  lr: %.6f",
+                eta, epoch, step, steps_per_epoch, meters, lr,
+            )
+
+        if evaluate_period and epoch % evaluate_period == 0 and data_loader_val:
+            top1 = inference(
+                model, state, data_loader_val[0],
+                dataset_name="val", save_data=False, rerank=False, mesh=mesh,
+            )
+            meters.update(top1=float(top1))
+            if top1 > best_top1:
+                best_top1 = top1
+                arguments["best_top1"] = best_top1
+                checkpointer.save("best", state, **arguments)
+
+        if checkpoint_period and epoch % checkpoint_period == 0:
+            checkpointer.save(f"epoch_{epoch}", state, **arguments)
+
+    total_time = time.time() - start_training_time
+    logger.info(
+        "Total training time: %s (%.4f s / it)",
+        datetime.timedelta(seconds=int(total_time)),
+        total_time / max(max_iter, 1),
+    )
+    return state

@@ -139,6 +139,19 @@ class TextReIDModel(nn.Module):
         t_embed = self.embed_text(self.encode_text(token_ids, lengths))
         return v_embed, t_embed
 
+    def init_all(self, images: Array, token_ids: Array, lengths: Array):
+        """Initialization entry point touching every parameterized path
+        (the eval path skips the MoCo FC projectors, which would otherwise
+        never get params under lazy setup)."""
+        v_feat = self.encode_image(images)
+        t_feat = self.encode_text(token_ids, lengths)
+        v_embed = self.embed_image(v_feat)
+        t_embed = self.embed_text(t_feat)
+        if self.embed_head == "moco" and self.moco_fc:
+            self.project_image(v_feat)
+            self.project_text(t_feat)
+        return v_embed, t_embed
+
 
 def build_visual_model(cfg, dtype=jnp.float32):
     """Mirrors reference backbones/build.py:6-11."""

@@ -1,0 +1,40 @@
+"""Frozen token-embedding table loading.
+
+Counterpart of `/root/reference/lib/utils/directory.py:11-30`: selects the
+``.npy`` lookup table by mode.  These tables (e.g. CLIP's token embedding
+exported as ``clip_vocab_vit.npy``) feed the bi-GRU when
+``MODEL.GRU.ONEHOT != "yes"``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+_VOCAB_FILES = {
+    "bert_c4": "datasets/cuhkpedes/bert_vocab_c4.npy",
+    "bert_l2": "datasets/cuhkpedes/bert_vocab_l2.npy",
+    "clip_vit": "datasets/cuhkpedes/clip_vocab_vit.npy",
+    "clip_rn50x4": "datasets/cuhkpedes/clip_vocab_rn50x4.npy",
+}
+
+
+def load_vocab_dict(root: str, use_onehot: str) -> np.ndarray:
+    if use_onehot not in _VOCAB_FILES:
+        raise NotImplementedError(f"Unknown vocab mode: {use_onehot}")
+    path = os.path.join(root, _VOCAB_FILES[use_onehot])
+    return np.load(path)
+
+
+def frozen_table_initializer(cfg):
+    """Return a lazy loader for the frozen table, or None for learnable
+    embeddings (reference gru.py:24-34 semantics)."""
+    if cfg.MODEL.GRU.ONEHOT == "yes":
+        return None
+    root = cfg.ROOT
+    mode = cfg.MODEL.GRU.ONEHOT
+    path = os.path.join(root, _VOCAB_FILES.get(mode, ""))
+    if not os.path.exists(path):
+        return None  # tests / synthetic runs: BiGRUEncoder falls back
+    return lambda: load_vocab_dict(root, mode)

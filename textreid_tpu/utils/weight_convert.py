@@ -1,0 +1,336 @@
+"""PyTorch -> JAX weight conversion.
+
+One-time importers for the three external checkpoint families the reference
+consumes (SURVEY.md section 5.4):
+
+* OpenAI CLIP jit archives ``RN50.pt`` / ``RN101.pt`` — ``visual.`` prefix
+  strip + bilinear position-embedding resize for non-224 inputs
+  (`/root/reference/lib/models/backbones/m_resnet.py:235-291`),
+* torchvision ImageNet ResNets (`lib/models/backbones/resnet.py:125-128`),
+* released TextReID training checkpoints (full ``Model`` state dicts incl.
+  MoCo key encoders, queues and the loss projection).
+
+Layout rules: torch conv ``[out, in, kh, kw]`` -> flax ``[kh, kw, in, out]``;
+torch linear ``[out, in]`` -> flax kernel ``[in, out]``; torch GRU
+``weight_ih_l0 [3H, E]`` (gate order r,z,n) -> our ``fwd_w_ih_l0 [E, 3H]``
+(same gate order, transposed); BN weight/bias -> scale/bias with running
+mean/var into ``batch_stats``.
+
+Everything operates on plain numpy so torch is only needed to *read* ``.pth``
+files (``load_torch_state_dict``); the mapping itself is testable without
+checkpoint files.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+Array = np.ndarray
+StateDict = Dict[str, Array]
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def conv_kernel(w: Array) -> Array:
+    """torch [out, in, kh, kw] -> flax [kh, kw, in, out]."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def linear_kernel(w: Array) -> Array:
+    """torch [out, in] -> flax [in, out]."""
+    return np.transpose(w, (1, 0))
+
+
+def bn_params(sd: StateDict, prefix: str) -> Tuple[dict, dict]:
+    params = {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+    stats = {
+        "mean": sd[f"{prefix}.running_mean"],
+        "var": sd[f"{prefix}.running_var"],
+    }
+    return params, stats
+
+
+def resize_pos_embed(posemb: Array, new_grid: Tuple[int, int]) -> Array:
+    """Bilinear-resize the CLIP attention-pool position embedding from its
+    square source grid to ``new_grid`` (reference m_resnet.py:220-232,
+    ``F.interpolate(..., mode="bilinear", align_corners=False)`` — matched
+    by jax.image.resize's half-integer-center bilinear)."""
+    import jax.numpy as jnp
+
+    tok, grid = posemb[:1], posemb[1:]
+    gs_old = int(round(len(grid) ** 0.5))
+    assert gs_old * gs_old == len(grid), f"non-square source grid: {len(grid)}"
+    grid = grid.reshape(gs_old, gs_old, -1)
+    resized = jax.image.resize(
+        jnp.asarray(grid), (new_grid[0], new_grid[1], grid.shape[-1]),
+        method="bilinear",
+    )
+    resized = np.asarray(resized).reshape(new_grid[0] * new_grid[1], -1)
+    return np.concatenate([tok, resized], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# module-level converters
+# ---------------------------------------------------------------------------
+
+def convert_m_resnet(
+    sd: StateDict,
+    layers: Tuple[int, ...],
+    final_grid: Optional[Tuple[int, int]] = None,
+) -> dict:
+    """CLIP ModifiedResNet state dict -> our flax variables.
+
+    ``sd`` keys may carry a ``visual.`` prefix (CLIP jit archives); it is
+    stripped.  Returns ``{"params": ..., "batch_stats": ...}`` shaped for
+    ``textreid_tpu.models.m_resnet.ModifiedResNet``.
+    """
+    sd = {
+        (k[len("visual."):] if k.startswith("visual.") else k): np.asarray(v)
+        for k, v in sd.items()
+    }
+    params: dict = {}
+    stats: dict = {}
+
+    for i in (1, 2, 3):
+        params[f"conv{i}"] = {"kernel": conv_kernel(sd[f"conv{i}.weight"])}
+        params[f"bn{i}"], stats[f"bn{i}"] = bn_params(sd, f"bn{i}")
+
+    for stage, blocks in enumerate(layers, start=1):
+        for b in range(blocks):
+            src = f"layer{stage}.{b}"
+            dst = f"layer{stage}_{b}"
+            bp: dict = {}
+            bs: dict = {}
+            for i in (1, 2, 3):
+                bp[f"conv{i}"] = {"kernel": conv_kernel(sd[f"{src}.conv{i}.weight"])}
+                bp[f"bn{i}"], bs[f"bn{i}"] = bn_params(sd, f"{src}.bn{i}")
+            if f"{src}.downsample.0.weight" in sd:
+                bp["downsample_conv"] = {
+                    "kernel": conv_kernel(sd[f"{src}.downsample.0.weight"])
+                }
+                bp["downsample_bn"], bs["downsample_bn"] = bn_params(
+                    sd, f"{src}.downsample.1"
+                )
+            params[dst] = bp
+            stats[dst] = bs
+
+    pos = sd["attnpool.positional_embedding"]
+    if final_grid is not None and len(pos) - 1 != final_grid[0] * final_grid[1]:
+        pos = resize_pos_embed(pos, final_grid)
+    attn = {"positional_embedding": pos}
+    for name in ("q_proj", "k_proj", "v_proj", "c_proj"):
+        attn[name] = {
+            "kernel": linear_kernel(sd[f"attnpool.{name}.weight"]),
+            "bias": sd[f"attnpool.{name}.bias"],
+        }
+    params["attnpool"] = attn
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_resnet(sd: StateDict, layers: Tuple[int, ...],
+                   bottleneck: bool = True) -> dict:
+    """torchvision ResNet state dict -> our flax variables (fc stripped,
+    reference resnet.py:178-183)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: dict = {"conv1": {"kernel": conv_kernel(sd["conv1.weight"])}}
+    stats: dict = {}
+    params["bn1"], stats["bn1"] = bn_params(sd, "bn1")
+
+    n_convs = 3 if bottleneck else 2
+    for stage, blocks in enumerate(layers, start=1):
+        for b in range(blocks):
+            src = f"layer{stage}.{b}"
+            dst = f"layer{stage}_{b}"
+            bp: dict = {}
+            bs: dict = {}
+            for i in range(1, n_convs + 1):
+                bp[f"conv{i}"] = {"kernel": conv_kernel(sd[f"{src}.conv{i}.weight"])}
+                bp[f"bn{i}"], bs[f"bn{i}"] = bn_params(sd, f"{src}.bn{i}")
+            if f"{src}.downsample.0.weight" in sd:
+                bp["downsample_conv"] = {
+                    "kernel": conv_kernel(sd[f"{src}.downsample.0.weight"])
+                }
+                bp["downsample_bn"], bs["downsample_bn"] = bn_params(
+                    sd, f"{src}.downsample.1"
+                )
+            params[dst] = bp
+            stats[dst] = bs
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_gru(sd: StateDict, num_layers: int = 1,
+                bidirectional: bool = True) -> dict:
+    """torch nn.GRU weights (``gru.`` prefix) + optional embedding table ->
+    BiGRUEncoder params."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params: dict = {}
+    if "embed.weight" in sd:
+        w = sd["embed.weight"]
+        if w.ndim == 2 and "gru.weight_ih_l0" in sd and (
+            w.shape[1] == sd["gru.weight_ih_l0"].shape[1]
+        ):
+            # learnable nn.Embedding [V, E]
+            params["token_embedding"] = w
+        else:
+            # Linear adapter over a frozen table
+            params["embed_adapter"] = {"kernel": linear_kernel(w)}
+            if "embed.bias" in sd:
+                params["embed_adapter"]["bias"] = sd["embed.bias"]
+    for layer in range(num_layers):
+        params[f"fwd_w_ih_l{layer}"] = linear_kernel(sd[f"gru.weight_ih_l{layer}"])
+        params[f"fwd_w_hh_l{layer}"] = linear_kernel(sd[f"gru.weight_hh_l{layer}"])
+        if bidirectional:
+            params[f"bwd_w_ih_l{layer}"] = linear_kernel(
+                sd[f"gru.weight_ih_l{layer}_reverse"]
+            )
+            params[f"bwd_w_hh_l{layer}"] = linear_kernel(
+                sd[f"gru.weight_hh_l{layer}_reverse"]
+            )
+    return {"params": params}
+
+
+def _dense(sd: StateDict, prefix: str) -> dict:
+    return {
+        "kernel": linear_kernel(np.asarray(sd[f"{prefix}.weight"])),
+        "bias": np.asarray(sd[f"{prefix}.bias"]),
+    }
+
+
+def _subdict(sd: StateDict, prefix: str) -> StateDict:
+    plen = len(prefix)
+    return {k[plen:]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def convert_textreid_checkpoint(sd: StateDict, cfg) -> dict:
+    """Full reference ``Model`` state dict -> pieces of our TrainState.
+
+    Handles both head types.  Returns a dict with keys among
+    ``params, batch_stats, key_params, key_batch_stats, v_queue, t_queue,
+    id_queue, queue_ptr`` (queues transposed to our [K, D] row layout).
+    """
+    sd = {re.sub(r"^module\.", "", k): np.asarray(v) for k, v in sd.items()}
+    is_moco = any(k.startswith("embed_model.v_encoder_k") for k in sd)
+
+    vis_layers = {
+        "m_resnet50": (3, 4, 6, 3),
+        "m_resnet": (3, 4, 6, 3),
+        "m_resnet101": (3, 4, 23, 3),
+        "resnet50": (3, 4, 6, 3),
+        "resnet101": (3, 4, 23, 3),
+    }[cfg.MODEL.VISUAL_MODEL]
+    is_clip = cfg.MODEL.VISUAL_MODEL.startswith("m_")
+    down = 16 if cfg.MODEL.RESNET.RES5_STRIDE == 1 else 32
+    final_grid = (cfg.INPUT.HEIGHT // down, cfg.INPUT.WIDTH // down)
+
+    def conv_visual(sub):
+        if is_clip:
+            return convert_m_resnet(sub, vis_layers, final_grid)
+        return convert_resnet(sub, vis_layers)
+
+    def conv_textual(sub):
+        return convert_gru(sub, num_layers=cfg.MODEL.GRU.NUM_LAYER)
+
+    out: dict = {}
+    visual_q = conv_visual(_subdict(sd, "visual_model."))
+    textual_q = conv_textual(_subdict(sd, "textual_model."))
+
+    params = {
+        "visual": visual_q["params"],
+        "textual": textual_q["params"],
+    }
+    batch_stats = {"visual": visual_q["batch_stats"]}
+
+    if is_moco:
+        em = "embed_model."
+        params["v_embed_layer"] = _dense(sd, em + "v_embed_layer")
+        params["t_embed_layer"] = _dense(sd, em + "t_embed_layer")
+        params["projection"] = np.asarray(sd[em + "loss_evaluator.projection"])
+        if f"{em}v_fc_q.0.weight" in sd:
+            for tower in ("v", "t"):
+                params[f"{tower}_fc"] = {
+                    "fc1": _dense(sd, f"{em}{tower}_fc_q.0"),
+                    "fc2": _dense(sd, f"{em}{tower}_fc_q.2"),
+                }
+        visual_k = conv_visual(_subdict(sd, em + "v_encoder_k."))
+        textual_k = conv_textual(_subdict(sd, em + "t_encoder_k."))
+        key_params = {
+            "visual": visual_k["params"],
+            "textual": textual_k["params"],
+        }
+        if f"{em}v_fc_k.0.weight" in sd:
+            for tower in ("v", "t"):
+                key_params[f"{tower}_fc"] = {
+                    "fc1": _dense(sd, f"{em}{tower}_fc_k.0"),
+                    "fc2": _dense(sd, f"{em}{tower}_fc_k.2"),
+                }
+        out["key_params"] = key_params
+        out["key_batch_stats"] = {"visual": visual_k["batch_stats"]}
+        # reference queues are [D, K] (head.py:53-56); ours are [K, D]
+        out["v_queue"] = np.transpose(sd[em + "v_queue"], (1, 0))
+        out["t_queue"] = np.transpose(sd[em + "t_queue"], (1, 0))
+        out["id_queue"] = sd[em + "id_queue"].reshape(-1).astype(np.int32)
+        out["queue_ptr"] = np.asarray(sd[em + "queue_ptr"]).reshape(()).astype(
+            np.int32
+        )
+    else:
+        em = "embed_model."
+        params["v_embed_layer"] = _dense(sd, em + "visual_embed_layer")
+        params["t_embed_layer"] = _dense(sd, em + "textual_embed_layer")
+        params["projection"] = np.asarray(sd[em + "loss_evaluator.projection"])
+
+    out["params"] = params
+    out["batch_stats"] = batch_stats
+    return out
+
+
+# ---------------------------------------------------------------------------
+# file readers (torch only needed here)
+# ---------------------------------------------------------------------------
+
+def load_torch_state_dict(path: str) -> StateDict:
+    """Read a ``.pth`` checkpoint or a CLIP jit archive into numpy."""
+    import torch
+
+    try:
+        obj = torch.jit.load(path, map_location="cpu").state_dict()
+    except Exception:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(obj, dict) and "model" in obj:
+            obj = obj["model"]
+    return {k: v.detach().cpu().numpy() for k, v in obj.items()
+            if isinstance(v, (np.ndarray,)) or hasattr(v, "detach")}
+
+
+def load_clip_visual(path: str, arch: str, final_grid: Tuple[int, int]) -> dict:
+    """CLIP jit archive -> ModifiedResNet variables
+    (reference m_resnet.py:246-291)."""
+    layers = {"RN50": (3, 4, 6, 3), "RN101": (3, 4, 23, 3)}[arch]
+    sd = load_torch_state_dict(path)
+    visual = {k: v for k, v in sd.items() if k.startswith("visual.")}
+    return convert_m_resnet(visual, layers, final_grid)
+
+
+def merge_pretrained(variables: dict, converted: dict) -> dict:
+    """Overlay converted weights onto freshly-initialized variables,
+    keeping any leaves the checkpoint does not provide (the tolerant-load
+    contract of reference checkpoint.py:90-148)."""
+    import jax.numpy as jnp
+
+    def merge(dst, src):
+        if not isinstance(dst, dict):
+            return jnp.asarray(src).astype(np.asarray(dst).dtype) if src is not None else dst
+        out = {}
+        for k, v in dst.items():
+            out[k] = merge(v, src.get(k)) if isinstance(src, dict) else v
+        return out
+
+    return {
+        coll: merge(tree, converted.get(coll, {}))
+        for coll, tree in variables.items()
+    }
