@@ -56,22 +56,38 @@ def bn_params(sd: StateDict, prefix: str) -> Tuple[dict, dict]:
     return params, stats
 
 
+def _bilinear_axis(x: Array, new_size: int, axis: int) -> Array:
+    """Bilinear resample along one axis with half-pixel centers and NO
+    antialiasing — torch ``F.interpolate(mode="bilinear",
+    align_corners=False)`` semantics (jax.image.resize antialiases on
+    downscale, so it cannot be used here)."""
+    old_size = x.shape[axis]
+    if old_size == new_size:
+        return x
+    coords = (np.arange(new_size) + 0.5) * (old_size / new_size) - 0.5
+    lo = np.floor(coords).astype(np.int64)
+    frac = (coords - lo).astype(x.dtype)
+    lo_c = np.clip(lo, 0, old_size - 1)
+    hi_c = np.clip(lo + 1, 0, old_size - 1)
+    a = np.take(x, lo_c, axis=axis)
+    b = np.take(x, hi_c, axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = new_size
+    frac = frac.reshape(shape)
+    return a * (1 - frac) + b * frac
+
+
 def resize_pos_embed(posemb: Array, new_grid: Tuple[int, int]) -> Array:
     """Bilinear-resize the CLIP attention-pool position embedding from its
-    square source grid to ``new_grid`` (reference m_resnet.py:220-232,
-    ``F.interpolate(..., mode="bilinear", align_corners=False)`` — matched
-    by jax.image.resize's half-integer-center bilinear)."""
-    import jax.numpy as jnp
-
+    square source grid to ``new_grid`` (reference m_resnet.py:220-232:
+    ``F.interpolate(..., mode="bilinear", align_corners=False)``)."""
     tok, grid = posemb[:1], posemb[1:]
     gs_old = int(round(len(grid) ** 0.5))
     assert gs_old * gs_old == len(grid), f"non-square source grid: {len(grid)}"
     grid = grid.reshape(gs_old, gs_old, -1)
-    resized = jax.image.resize(
-        jnp.asarray(grid), (new_grid[0], new_grid[1], grid.shape[-1]),
-        method="bilinear",
-    )
-    resized = np.asarray(resized).reshape(new_grid[0] * new_grid[1], -1)
+    grid = _bilinear_axis(grid, new_grid[0], axis=0)
+    grid = _bilinear_axis(grid, new_grid[1], axis=1)
+    resized = grid.reshape(new_grid[0] * new_grid[1], -1)
     return np.concatenate([tok, resized], axis=0)
 
 
