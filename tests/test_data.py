@@ -92,7 +92,7 @@ class TestTransforms:
         img = Image.fromarray(
             np.random.RandomState(0).randint(0, 255, (48, 24, 3), np.uint8)
         )
-        ours = build_transforms(cfg, is_train=False)(img)
+        ours, _ = build_transforms(cfg, is_train=False)(img)
         resized = np.asarray(
             img.resize((12, 24), Image.BILINEAR), dtype=np.float32
         ) / 255.0
@@ -106,9 +106,10 @@ class TestTransforms:
         tf = build_transforms(cfg, is_train=True,
                               rng=np.random.RandomState(0))
         img = Image.fromarray(np.full((48, 24, 3), 128, np.uint8))
-        out = tf(img)
+        out, erase = tf(img)
         assert out.shape == (24, 12, 3)
         assert out.dtype == np.float32
+        assert erase.shape == (5,)
 
     def test_erasing_fills_with_pixel_mean(self):
         cfg = self._cfg()
@@ -116,7 +117,8 @@ class TestTransforms:
                               rng=np.random.RandomState(1))
         tf.erase_prob = 1.0
         img = Image.fromarray(np.zeros((48, 24, 3), np.uint8))
-        out = tf(img)
+        out, erase = tf(img)
+        assert erase[0] == 1
         mean = np.asarray(cfg.INPUT.PIXEL_MEAN, np.float32)
         # some pixels must equal the raw (un-normalized) pixel mean fill
         hits = np.isclose(out, mean, atol=1e-6).all(axis=-1)
@@ -129,6 +131,8 @@ class TestLoader:
         loader = make_data_loader(cfg, is_train=True)
         batch = next(iter(loader))
         assert batch["pixels"].shape == (8, 32, 16, 3)
+        assert batch["pixels"].dtype == np.uint8  # device-prep pipeline
+        assert batch["erase"].shape == (8, 5)
         assert batch["token_ids"].shape == (8, 105)
         assert batch["lengths"].min() >= 1
         assert batch["valid"].all()
@@ -158,3 +162,44 @@ class TestLoader:
         batch = next(iter(loader))
         assert batch["token_ids"].shape[1] == 5
         assert batch["lengths"].max() <= 5
+
+
+class TestDevicePrepEquivalence:
+    def test_device_preprocess_matches_host_pipeline(self, synth_root):
+        """uint8 + on-device normalize/erase == the all-host f32 chain."""
+        import jax.numpy as jnp
+
+        from textreid_tpu.models import BiGRUEncoder, TextReIDModel
+        from textreid_tpu.models.m_resnet import ModifiedResNet
+
+        cfg = _cfg(synth_root)
+        model = TextReIDModel(
+            visual=ModifiedResNet(
+                layers=(1, 1, 1, 1), output_dim=8, heads=4, last_stride=1,
+                input_resolution=(32, 16), width=16,
+            ),
+            textual=BiGRUEncoder(hidden_dim=8, vocab_size=100, embed_size=8),
+            feature_size=8, num_classes=8,
+            pixel_mean=tuple(cfg.INPUT.PIXEL_MEAN),
+            pixel_std=tuple(cfg.INPUT.PIXEL_STD),
+        )
+
+        # identical host RNG seeds -> identical geometry + erase rects
+        cfg_host = _cfg(synth_root); cfg_host.TPU.DEVICE_PREP = False
+        cfg_dev = _cfg(synth_root); cfg_dev.TPU.DEVICE_PREP = True
+        host_batch = next(iter(make_data_loader(cfg_host, is_train=True)))
+        dev_batch = next(iter(make_data_loader(cfg_dev, is_train=True)))
+        np.testing.assert_array_equal(host_batch["index"], dev_batch["index"])
+        np.testing.assert_array_equal(host_batch["erase"], dev_batch["erase"])
+        assert dev_batch["pixels"].dtype == np.uint8
+        assert host_batch["pixels"].dtype == np.float32
+
+        from textreid_tpu.models.model import preprocess_pixels
+
+        prepped = preprocess_pixels(
+            jnp.asarray(dev_batch["pixels"]), jnp.asarray(dev_batch["erase"]),
+            tuple(cfg.INPUT.PIXEL_MEAN), tuple(cfg.INPUT.PIXEL_STD),
+        )
+        np.testing.assert_allclose(
+            np.asarray(prepped), host_batch["pixels"], atol=1e-5
+        )

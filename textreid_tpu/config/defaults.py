@@ -139,6 +139,10 @@ _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # Use Pallas kernels for the hot ops where available (falls back silently
 # to pure-XLA paths on CPU).
 _C.TPU.USE_PALLAS = True
+# Ship uint8 pixels and fuse /255 -> normalize -> random-erase fill into the
+# jitted device step (4x less host->device traffic than f32). False restores
+# the reference's all-host float pipeline.
+_C.TPU.DEVICE_PREP = True
 # Donate train-state buffers to the jitted step (saves HBM).
 _C.TPU.DONATE_STATE = True
 

@@ -57,15 +57,22 @@ class CUHKPEDESDataset:
         return out, length
 
     def __getitem__(self, index: int) -> dict:
+        return self.load(index)
+
+    def load(self, index: int, rng=None) -> dict:
+        """Load one sample; ``rng`` makes augmentation deterministic per
+        (seed, epoch, position) regardless of worker-thread scheduling."""
         record = self.dataset[index]
         img = Image.open(os.path.join(self.img_dir, record["file_path"])).convert(
             "RGB"
         )
+        erase = np.zeros(5, dtype=np.int32)
         if self.transforms is not None:
-            img = self.transforms(img)
+            img, erase = self.transforms(img, rng)
         token_ids, length = self._tokens(record)
         return {
-            "pixels": img,  # [H, W, 3] float32 (post-transform)
+            "pixels": img,  # [H, W, 3] uint8 (device_prep) or float32
+            "erase": erase,  # [5] int32 [apply, top, left, h, w]
             "token_ids": token_ids,  # [max_length] int32
             "length": np.int32(length),
             "pid": np.int32(record["id"]),
@@ -103,8 +110,11 @@ class ConcatDataset:
         return dataset_idx, sample_idx
 
     def __getitem__(self, idx: int):
+        return self.load(idx)
+
+    def load(self, idx: int, rng=None):
         d, s = self._locate(idx)
-        item = self.datasets[d][s]
+        item = self.datasets[d].load(s, rng)
         item["index"] = np.int32(idx)
         return item
 

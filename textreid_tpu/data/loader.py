@@ -37,8 +37,12 @@ _FACTORIES = {
 
 
 def _collate(samples: List[dict], valid: np.ndarray) -> dict:
+    pixels = np.stack([s["pixels"] for s in samples])
+    if pixels.dtype != np.uint8:
+        pixels = pixels.astype(np.float32)
     batch = {
-        "pixels": np.stack([s["pixels"] for s in samples]).astype(np.float32),
+        "pixels": pixels,
+        "erase": np.stack([s["erase"] for s in samples]),
         "token_ids": np.stack([s["token_ids"] for s in samples]),
         "lengths": np.stack([s["length"] for s in samples]),
         "pids": np.stack([s["pid"] for s in samples]),
@@ -104,13 +108,25 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[dict]:
         batches = self._index_batches()
+        epoch = self._epoch
         self._epoch += 1
+        load = getattr(self.dataset, "load", None)
+        counter = iter(range(1 << 60))
         with ThreadPoolExecutor(self.num_workers) as pool:
             # Per-sample futures; keep one batch in flight ahead of the
             # one being consumed (double-buffered host pipeline).
+            def submit_one(i):
+                if load is None:
+                    return pool.submit(self.dataset.__getitem__, i)
+                # per-sample RNG: deterministic in (seed, epoch, position),
+                # independent of worker-thread scheduling
+                pos = next(counter)
+                sample_seed = (self._seed * 1_000_003 + epoch * 97 + pos) % 2**31
+                return pool.submit(load, i, np.random.RandomState(sample_seed))
+
             def submit(batch_idx):
                 idxs, valid = self._padded(batch_idx)
-                return [pool.submit(self.dataset.__getitem__, i) for i in idxs], valid
+                return [submit_one(i) for i in idxs], valid
 
             pending = None
             for batch_idx in batches:
@@ -153,7 +169,8 @@ def make_data_loader(cfg, is_train: bool = True, seed: Optional[int] = None):
     """
     seed = cfg.SEED if seed is None else seed
     transforms = build_transforms(cfg, is_train,
-                                  rng=np.random.RandomState(seed))
+                                  rng=np.random.RandomState(seed),
+                                  device_prep=cfg.TPU.DEVICE_PREP)
     names = cfg.DATASETS.TRAIN if is_train else cfg.DATASETS.TEST
     datasets = build_dataset(cfg, names, transforms, is_train)
 

@@ -12,6 +12,18 @@ CHW transpose):
 
 RandomErasing keeps torchvision's quirk of filling the *normalized* image
 with the raw pixel-mean values (transforms.py:24).
+
+Two output modes:
+
+* ``device_prep=False`` — everything on host, float32 normalized output
+  (bit-compatible with the reference chain; used by parity tests).
+* ``device_prep=True`` (default pipeline) — the TPU-native split: the host
+  does only the uint8 geometry (resize/flip/pad-crop) and *samples* the
+  erase rectangle; the batch ships as uint8 (4x less host->device traffic)
+  plus a 5-int erase descriptor, and ``/255 -> normalize -> rectangle
+  fill`` runs on-device fused into the jitted step
+  (``TextReIDModel.preprocess_pixels``).  Host RNG decides all randomness
+  either way, so the device step stays pure.
 """
 
 from __future__ import annotations
@@ -37,6 +49,7 @@ class Transform:
         erase_scale: Tuple[float, float] = (0.02, 0.4),
         erase_ratio: Tuple[float, float] = (0.3, 10 / 3),
         rng: Optional[np.random.RandomState] = None,
+        device_prep: bool = True,
     ):
         self.height = height
         self.width = width
@@ -49,54 +62,74 @@ class Transform:
         self.erase_scale = erase_scale
         self.erase_ratio = erase_ratio
         self.rng = rng or np.random.RandomState(0)
+        self.device_prep = device_prep
 
     def seed(self, seed: int) -> None:
         self.rng = np.random.RandomState(seed)
 
-    def __call__(self, img: Image.Image) -> np.ndarray:
+    def __call__(self, img: Image.Image, rng=None):
+        """Returns (pixels, erase) — pixels uint8 HWC in device_prep mode
+        (normalize+erase applied later on device) or float32 normalized
+        otherwise; erase is a length-5 int32 [apply, top, left, h, w].
+
+        Pass a per-sample ``rng`` for deterministic augmentation independent
+        of worker-thread scheduling (the loader derives one from
+        (seed, epoch, sample position))."""
+        rng = self.rng if rng is None else rng
         img = img.resize((self.width, self.height), Image.BILINEAR)
 
         if self.is_train:
-            if self.rng.rand() < 0.5:
+            if rng.rand() < 0.5:
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
             if self.use_aug:
-                img = self._pad_and_crop(img)
+                img = self._pad_and_crop(img, rng)
+
+        erase = np.zeros(5, dtype=np.int32)
+        if self.is_train and self.use_aug:
+            erase = self._sample_erase(rng)
+
+        if self.device_prep:
+            return np.asarray(img, dtype=np.uint8), erase
 
         arr = np.asarray(img, dtype=np.float32) / 255.0
         arr = (arr - self.mean) / self.std
+        if erase[0]:
+            top, left, eh, ew = erase[1:]
+            arr[top : top + eh, left : left + ew] = self.mean
+        return arr, erase
 
-        if self.is_train and self.use_aug:
-            arr = self._random_erase(arr)
-        return arr
-
-    def _pad_and_crop(self, img: Image.Image) -> Image.Image:
+    def _pad_and_crop(self, img: Image.Image, rng) -> Image.Image:
         p = self.padding
         padded = Image.new("RGB", (img.width + 2 * p, img.height + 2 * p), (0, 0, 0))
         padded.paste(img, (p, p))
-        left = int(self.rng.randint(0, 2 * p + 1))
-        top = int(self.rng.randint(0, 2 * p + 1))
+        left = int(rng.randint(0, 2 * p + 1))
+        top = int(rng.randint(0, 2 * p + 1))
         return padded.crop((left, top, left + self.width, top + self.height))
 
-    def _random_erase(self, arr: np.ndarray) -> np.ndarray:
-        if self.rng.rand() >= self.erase_prob:
-            return arr
-        h, w = arr.shape[:2]
+    def _sample_erase(self, rng) -> np.ndarray:
+        """Sample the torchvision RandomErasing rectangle (p=0.5, 10
+        attempts); returns [apply, top, left, h, w] int32."""
+        out = np.zeros(5, dtype=np.int32)
+        if rng.rand() >= self.erase_prob:
+            return out
+        h, w = self.height, self.width
         area = h * w
         log_ratio = (math.log(self.erase_ratio[0]), math.log(self.erase_ratio[1]))
         for _ in range(10):
-            erase_area = area * self.rng.uniform(*self.erase_scale)
-            aspect = math.exp(self.rng.uniform(*log_ratio))
+            erase_area = area * rng.uniform(*self.erase_scale)
+            aspect = math.exp(rng.uniform(*log_ratio))
             eh = int(round(math.sqrt(erase_area * aspect)))
             ew = int(round(math.sqrt(erase_area / aspect)))
-            if eh < h and ew < w and eh > 0 and ew > 0:
-                top = int(self.rng.randint(0, h - eh + 1))
-                left = int(self.rng.randint(0, w - ew + 1))
-                arr[top : top + eh, left : left + ew] = self.mean
-                return arr
-        return arr
+            if 0 < eh < h and 0 < ew < w:
+                top = int(rng.randint(0, h - eh + 1))
+                left = int(rng.randint(0, w - ew + 1))
+                out[:] = (1, top, left, eh, ew)
+                return out
+        return out
 
 
-def build_transforms(cfg, is_train: bool = True, rng=None) -> Transform:
+def build_transforms(cfg, is_train: bool = True, rng=None,
+                     device_prep: bool = False) -> Transform:
     """Mirrors reference transforms.py:4-43."""
     return Transform(
         height=cfg.INPUT.HEIGHT,
@@ -107,4 +140,5 @@ def build_transforms(cfg, is_train: bool = True, rng=None) -> Transform:
         use_aug=cfg.INPUT.USE_AUG,
         padding=cfg.INPUT.PADDING,
         rng=rng,
+        device_prep=device_prep,
     )

@@ -68,6 +68,7 @@ def simple_train_step(model, tx, epsilon: float):
         v_feat, new_bs = _apply(
             model, params, state.batch_stats, state.constants,
             "encode_image", batch["pixels"], train=True,
+            erase=batch.get("erase"),
         )
         t_feat = model.apply(
             {"params": params, "batch_stats": state.batch_stats,
@@ -127,7 +128,7 @@ def moco_train_step(model, tx, cfg):
         query encoders only)."""
         v_feat_k, new_key_bs = _apply(
             model, key_params, key_bs, constants, "encode_image",
-            batch["pixels"], train=True,
+            batch["pixels"], train=True, erase=batch.get("erase"),
         )
         t_feat_k = model.apply(
             {"params": key_params, "batch_stats": key_bs, "constants": constants},
@@ -155,6 +156,7 @@ def moco_train_step(model, tx, cfg):
         v_feat, new_bs = _apply(
             model, params, state.batch_stats, state.constants,
             "encode_image", batch["pixels"], train=True,
+            erase=batch.get("erase"),
         )
         t_feat = model.apply(
             {"params": params, "batch_stats": state.batch_stats,

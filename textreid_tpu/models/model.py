@@ -50,6 +50,38 @@ def xavier_uniform_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
 
+def preprocess_pixels(images, erase, pixel_mean, pixel_std,
+                      dtype=jnp.float32):
+    """uint8 HWC -> normalized float on device, with the torchvision
+    RandomErasing rectangle fill applied.
+
+    The host pipeline samples the rectangle ([apply, top, left, h, w] per
+    sample, ``data/transforms.py``); the fill value is the *raw* pixel mean
+    written into the normalized image — torchvision's
+    ``RandomErasing(value=pixel_mean)`` quirk the reference inherits
+    (reference transforms.py:24)."""
+    mean = jnp.asarray(pixel_mean, dtype)
+    std = jnp.asarray(pixel_std, dtype)
+    x = images.astype(dtype) / 255.0
+    x = (x - mean) / std
+    if erase is not None:
+        h, w = x.shape[1], x.shape[2]
+        rows = jnp.arange(h)[None, :, None]  # [1, H, 1]
+        cols = jnp.arange(w)[None, None, :]  # [1, 1, W]
+        apply = erase[:, 0][:, None, None].astype(bool)
+        top = erase[:, 1][:, None, None]
+        left = erase[:, 2][:, None, None]
+        eh = erase[:, 3][:, None, None]
+        ew = erase[:, 4][:, None, None]
+        in_rect = (
+            (rows >= top) & (rows < top + eh)
+            & (cols >= left) & (cols < left + ew)
+            & apply
+        )
+        x = jnp.where(in_rect[..., None], mean, x)
+    return x
+
+
 class MLPProjector(nn.Module):
     """2-layer projection head used by MoCo when FC=True (head.py:32-48)."""
 
@@ -84,6 +116,10 @@ class TextReIDModel(nn.Module):
     embed_head: str = "simple"  # "simple" | "moco"
     moco_fc: bool = True
     dtype: jnp.dtype = jnp.float32
+    # Pixel statistics for on-device preprocessing of uint8 inputs
+    # (reference INPUT.PIXEL_MEAN/STD, applied host-side there).
+    pixel_mean: tuple = (0.485, 0.456, 0.406)
+    pixel_std: tuple = (0.229, 0.224, 0.225)
 
     def setup(self):
         self.v_embed_layer = nn.Dense(
@@ -105,7 +141,12 @@ class TextReIDModel(nn.Module):
         )
 
     # -- backbone features ---------------------------------------------------
-    def encode_image(self, images: Array, train: bool = False) -> Array:
+    def encode_image(self, images: Array, train: bool = False,
+                     erase: Array = None) -> Array:
+        if images.dtype == jnp.uint8:
+            images = preprocess_pixels(
+                images, erase, self.pixel_mean, self.pixel_std, self.dtype
+            )
         return self.visual(images, train=train)
 
     def encode_text(self, token_ids: Array, lengths: Array) -> Array:
@@ -180,4 +221,6 @@ def build_model(cfg, frozen_table_init=None, dtype=jnp.float32) -> TextReIDModel
         embed_head=cfg.MODEL.EMBEDDING.EMBED_HEAD,
         moco_fc=cfg.MODEL.MOCO.FC,
         dtype=dtype,
+        pixel_mean=tuple(cfg.INPUT.PIXEL_MEAN),
+        pixel_std=tuple(cfg.INPUT.PIXEL_STD),
     )

@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Counterpart of `/root/reference/train_net.py`: same argument surface
+(``--root``, ``--config-file``, ``--resume-from``, ``--use-tensorboard``,
+trailing yacs-style ``opts`` overrides), seeded runs, output directory
+derived from the config path, config echo into the log.  TPU-native
+replacements: a ``jax.sharding.Mesh`` data axis instead of NCCL process
+groups (multi-process via ``jax.distributed.initialize`` when
+``JAX_COORDINATOR`` is set), orbax checkpoints, optax solver.
+"""
+
+import argparse
+import os
+import random
+
+import numpy as np
+
+import jax
+
+
+def build_everything(cfg, logger):
+    import jax.numpy as jnp
+
+    from textreid_tpu.data import make_data_loader
+    from textreid_tpu.engine import create_train_state
+    from textreid_tpu.models import build_model
+    from textreid_tpu.parallel import make_mesh
+    from textreid_tpu.solver import make_lr_schedule, make_optimizer
+    from textreid_tpu.utils.vocab import frozen_table_initializer
+
+    data_loader = make_data_loader(cfg, is_train=True)
+    data_loader_val = make_data_loader(cfg, is_train=False)
+
+    dtype = jnp.bfloat16 if cfg.DTYPE == "bfloat16" else jnp.float32
+    model = build_model(cfg, frozen_table_initializer(cfg), dtype=dtype)
+
+    sample = next(iter(data_loader))
+    sample.pop("valid", None)
+
+    # init params to size the optimizer masks
+    variables = model.init(
+        jax.random.PRNGKey(cfg.SEED),
+        jnp.asarray(sample["pixels"]),
+        jnp.asarray(sample["token_ids"]),
+        jnp.asarray(sample["lengths"]),
+        method="init_all",
+    )
+    trainable_mask = None
+    if cfg.MODEL.FREEZE:
+        # Freeze visual stem+layers1-3 and the whole text tower (reference
+        # resnet.py:229-233 / gru.py:111-115 semantics) via zeroed updates.
+        frozen_prefixes = ("conv1", "bn1", "conv2", "bn2", "conv3", "bn3",
+                           "layer1", "layer2", "layer3")
+
+        def mask_tree(tree, path=()):
+            if not isinstance(tree, dict):
+                top = path[0] if path else ""
+                if top == "textual":
+                    return False
+                if top == "visual" and len(path) > 1 and any(
+                    path[1].startswith(p) for p in frozen_prefixes
+                ):
+                    return False
+                return True
+            return {k: mask_tree(v, path + (k,)) for k, v in tree.items()}
+
+        trainable_mask = mask_tree(variables["params"])
+
+    tx = make_optimizer(cfg, variables["params"], trainable_mask)
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(cfg.SEED),
+                               sample)
+
+    mesh = make_mesh(cfg.TPU.DATA_PARALLEL) if jax.device_count() > 1 else None
+    lr_schedule = make_lr_schedule(cfg)
+    return model, state, tx, data_loader, data_loader_val, mesh, lr_schedule
+
+
+def train(cfg, output_dir, resume_from, use_tensorboard):
+    from textreid_tpu.engine import do_train
+    from textreid_tpu.utils import (
+        Checkpointer,
+        MetricLogger,
+        TensorboardLogger,
+        setup_logger,
+    )
+    from textreid_tpu.utils.weight_convert import (
+        convert_textreid_checkpoint,
+        load_clip_visual,
+        load_torch_state_dict,
+        merge_pretrained,
+    )
+
+    logger = setup_logger("PersonSearch", output_dir, jax.process_index())
+    (model, state, tx, data_loader, data_loader_val, mesh,
+     lr_schedule) = build_everything(cfg, logger)
+
+    # Pretrained visual weights: CLIP jit archives for m_resnet*, mirroring
+    # reference m_resnet.py:294-307 path conventions.
+    if cfg.MODEL.VISUAL_MODEL.startswith("m_resnet"):
+        arch = "RN101" if cfg.MODEL.VISUAL_MODEL.endswith("101") else "RN50"
+        clip_path = os.path.join(cfg.ROOT, "pretrained", "clip", f"{arch}.pt")
+        if os.path.isfile(clip_path):
+            logger.info("Loading CLIP visual weights from %s", clip_path)
+            visual = load_clip_visual(
+                clip_path, arch, model.visual.final_grid
+            )
+            merged = merge_pretrained(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                {"params": {"visual": visual["params"]},
+                 "batch_stats": {"visual": visual["batch_stats"]}},
+            )
+            state = state.replace(
+                params=merged["params"], batch_stats=merged["batch_stats"]
+            )
+            if state.key_params is not None:
+                kmerged = merge_pretrained(
+                    {"params": state.key_params,
+                     "batch_stats": state.key_batch_stats},
+                    {"params": {"visual": visual["params"]},
+                     "batch_stats": {"visual": visual["batch_stats"]}},
+                )
+                state = state.replace(
+                    key_params=kmerged["params"],
+                    key_batch_stats=kmerged["batch_stats"],
+                )
+
+    arguments = {"iteration": 0, "epoch": 0,
+                 "max_epoch": cfg.SOLVER.NUM_EPOCHS}
+
+    checkpointer = Checkpointer(save_dir=output_dir)
+
+    # Full-model warm start (reference train_net.py:64-68): orbax dir or
+    # torch .pth both accepted.
+    if cfg.MODEL.WEIGHT != "imagenet":
+        if os.path.isdir(cfg.MODEL.WEIGHT):
+            state = checkpointer.load(cfg.MODEL.WEIGHT, state)
+        elif os.path.isfile(cfg.MODEL.WEIGHT):
+            sd = load_torch_state_dict(cfg.MODEL.WEIGHT)
+            converted = convert_textreid_checkpoint(sd, cfg)
+            merged = merge_pretrained(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                {"params": converted["params"],
+                 "batch_stats": converted["batch_stats"]},
+            )
+            state = state.replace(params=merged["params"],
+                                  batch_stats=merged["batch_stats"])
+        else:
+            raise IOError(f"{cfg.MODEL.WEIGHT} is not a checkpoint file")
+
+    if resume_from:
+        state, extra = checkpointer.resume(resume_from, state)
+        arguments.update(extra)
+
+    if use_tensorboard:
+        meters = TensorboardLogger(
+            log_dir=os.path.join(output_dir, "tensorboard"),
+            start_iter=arguments["iteration"],
+        )
+    else:
+        meters = MetricLogger()
+
+    do_train(
+        cfg, model, state, tx, data_loader, data_loader_val, checkpointer,
+        meters, lr_schedule, arguments, mesh,
+    )
+
+
+def main():
+    parser = argparse.ArgumentParser(description="TPU Person Search Training")
+    parser.add_argument("--root", default="./", type=str, help="root path")
+    parser.add_argument("--config-file", default="", metavar="FILE", type=str)
+    parser.add_argument("--resume-from", type=str,
+                        help="checkpoint to resume from")
+    parser.add_argument("--use-tensorboard", action="store_true", default=False)
+    parser.add_argument("opts", default=None, nargs=argparse.REMAINDER,
+                        help="yacs-style dotted config overrides")
+    args = parser.parse_args()
+
+    if os.environ.get("JAX_COORDINATOR"):
+        jax.distributed.initialize()
+
+    from textreid_tpu.config import get_default_cfg
+    from textreid_tpu.utils import makedir, setup_logger
+
+    cfg = get_default_cfg()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    cfg.merge_from_list(args.opts)
+    cfg.ROOT = args.root
+    cfg.freeze()
+
+    random.seed(cfg.SEED)
+    np.random.seed(cfg.SEED)
+
+    output_dir = os.path.join(
+        args.root, "./output", "/".join(args.config_file.split("/")[-2:])[:-5]
+    )
+    makedir(output_dir)
+
+    logger = setup_logger("PersonSearch", output_dir, jax.process_index())
+    logger.info("Using %d devices", jax.device_count())
+    logger.info("%s", args)
+    if args.config_file:
+        with open(args.config_file) as f:
+            logger.info("Loaded configuration file %s\n%s", args.config_file,
+                        f.read())
+    logger.info("Running with config:\n%s", cfg)
+
+    train(cfg, output_dir, args.resume_from, args.use_tensorboard)
+
+
+if __name__ == "__main__":
+    main()
