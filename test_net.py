@@ -13,6 +13,10 @@ import os
 
 import jax
 
+from textreid_tpu.utils.platform import ensure_platform
+
+ensure_platform()
+
 
 def main():
     parser = argparse.ArgumentParser(description="TPU Image-Text Matching Inference")

@@ -1,0 +1,127 @@
+"""End-to-end CLI smoke: train_net.py (1 epoch on a synthetic dataset, with
+validation + checkpointing) then test_net.py evaluating the saved checkpoint
+— the full reference workflow (train_net.py:105-183, test_net.py:20-109) on
+CPU with a small ResNet-18 config."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    from textreid_tpu.data import make_synthetic_dataset
+
+    root = tmp_path_factory.mktemp("cli_ws")
+    ds = root / "datasets" / "cuhkpedes"
+    make_synthetic_dataset(str(ds), num_identities=8, images_per_id=2,
+                           image_size=(32, 16), max_tokens=10, split="train")
+    make_synthetic_dataset(str(ds), num_identities=4, images_per_id=2,
+                           image_size=(32, 16), max_tokens=10, split="test",
+                           seed=1)
+
+    cfg_dir = root / "configs" / "tiny"
+    cfg_dir.mkdir(parents=True)
+    (cfg_dir / "smoke.yaml").write_text(
+        """
+MODEL:
+  VISUAL_MODEL: "resnet18"
+  TEXTUAL_MODEL: "bigru"
+  NUM_CLASSES: 8
+  GRU:
+    ONEHOT: "yes"
+    EMBEDDING_SIZE: 16
+    NUM_UNITS: 16
+    VOCABULARY_SIZE: 100
+  EMBEDDING:
+    EMBED_HEAD: 'moco'
+    FEATURE_SIZE: 16
+    EPSILON: 0.1
+  MOCO:
+    FC: False
+    K: 16
+INPUT:
+  HEIGHT: 32
+  WIDTH: 16
+  USE_AUG: True
+  MAX_TEXT_LENGTH: 10
+DATASETS:
+  TRAIN: ("cuhkpedes_train", )
+  TEST: ("cuhkpedes_test", )
+DATALOADER:
+  IMS_PER_ID: 2
+  NUM_WORKERS: 2
+SOLVER:
+  IMS_PER_BATCH: 8
+  NUM_EPOCHS: 1
+  BASE_LR: 0.0001
+  CHECKPOINT_PERIOD: 1
+  EVALUATE_PERIOD: 1
+  WARMUP_EPOCHS: 0
+TEST:
+  IMS_PER_BATCH: 8
+"""
+    )
+    return root
+
+
+def run_cli(script, args, cwd):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["TEXTREID_FORCE_CPU"] = "1"
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, script), *args],
+        cwd=str(cwd), env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert result.returncode == 0, (
+        f"{script} failed\nSTDOUT:\n{result.stdout[-4000:]}\n"
+        f"STDERR:\n{result.stderr[-4000:]}"
+    )
+    return result
+
+
+class TestCLIWorkflow:
+    def test_train_then_eval(self, workspace):
+        cfg_rel = "configs/tiny/smoke.yaml"
+        out = run_cli(
+            "train_net.py",
+            ["--root", str(workspace), "--config-file", cfg_rel],
+            cwd=workspace,
+        )
+        combined = out.stdout + out.stderr
+        assert "Start training" in combined
+        assert "epoch [1]" in combined
+
+        out_dir = workspace / "output" / "tiny" / "smoke"
+        assert (out_dir / "epoch_1").is_dir(), "epoch checkpoint written"
+        assert (out_dir / "log.txt").exists()
+        # validation gated a best checkpoint
+        assert (out_dir / "best").is_dir()
+        meta = json.loads((out_dir / "epoch_1.meta.json").read_text())
+        assert meta["epoch"] == 1
+
+        out2 = run_cli(
+            "test_net.py",
+            ["--root", str(workspace), "--config-file", cfg_rel,
+             "--checkpoint-file", str(out_dir / "best")],
+            cwd=workspace,
+        )
+        combined2 = out2.stdout + out2.stderr
+        assert "t2i" in combined2 and "mAP" in combined2
+
+    def test_cli_opts_override(self, workspace):
+        out = run_cli(
+            "train_net.py",
+            ["--root", str(workspace), "--config-file",
+             "configs/tiny/smoke.yaml",
+             "SOLVER.NUM_EPOCHS", "1", "SOLVER.BASE_LR", "0.00005"],
+            cwd=workspace,
+        )
+        assert "5e-05" in (out.stdout + out.stderr) or "0.00005" in (
+            out.stdout + out.stderr
+        )

@@ -92,6 +92,9 @@ _C.SOLVER.IMS_PER_BATCH = 16
 _C.SOLVER.NUM_EPOCHS = 100
 _C.SOLVER.CHECKPOINT_PERIOD = 1
 _C.SOLVER.EVALUATE_PERIOD = 1
+# Steps between log lines.  The reference logs every iteration
+# (trainer.py:100); on TPU each log forces a host sync, so default sparser.
+_C.SOLVER.LOG_PERIOD = 20
 
 _C.SOLVER.OPTIMIZER = "Adam"
 _C.SOLVER.BASE_LR = 0.0002

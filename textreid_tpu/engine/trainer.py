@@ -72,6 +72,7 @@ def do_train(
         epoch += 1
         arguments["epoch"] = epoch
 
+        log_period = max(1, int(cfg.SOLVER.LOG_PERIOD))
         for step, batch in enumerate(data_loader):
             data_time = time.time() - end
             iteration += 1
@@ -81,19 +82,21 @@ def do_train(
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
             state, metrics = train_step(state, batch)
-            # Block for honest step timing (XLA dispatch is async).
-            metrics = {k: float(v) for k, v in metrics.items()}
 
             batch_time = time.time() - end
             end = time.time()
-            meters.update(time=batch_time, data=data_time, **metrics)
+            meters.update(time=batch_time, data=data_time)
 
-            eta_seconds = meters.time.global_avg * (max_iter - iteration)
-            eta = datetime.timedelta(seconds=int(eta_seconds))
-            logger.info(
-                "eta: %s  epoch [%d][%d/%d]  %s  lr: %.6f",
-                eta, epoch, step, steps_per_epoch, meters, lr,
-            )
+            if step % log_period == 0 or step == steps_per_epoch - 1:
+                # Fetching metrics syncs with the device; do it only at log
+                # boundaries so steps in between stay fully async.
+                meters.update(**{k: float(v) for k, v in metrics.items()})
+                eta_seconds = meters.time.global_avg * (max_iter - iteration)
+                eta = datetime.timedelta(seconds=int(eta_seconds))
+                logger.info(
+                    "eta: %s  epoch [%d][%d/%d]  %s  lr: %.6f",
+                    eta, epoch, step, steps_per_epoch, meters, lr,
+                )
 
         if evaluate_period and epoch % evaluate_period == 0 and data_loader_val:
             top1 = inference(

@@ -1,0 +1,112 @@
+"""Pallas TPU kernel: fused GRU time scan.
+
+The recurrent scan is the one genuinely sequential op in the framework (the
+reference leans on cuDNN's fused GRU, `/root/reference/lib/models/backbones/
+gru.py:36-43`).  The XLA ``lax.scan`` version round-trips the hidden state
+and per-step gate tensors through HBM every timestep; this kernel keeps the
+hidden state and the recurrent weight resident in VMEM for the whole
+sequence and double-buffers the per-step input-gate slabs from HBM, so the
+only HBM traffic per step is one [B, 3H] read and one [B, H] write.
+
+Layout/contract matches ``models.gru.gru_scan``:
+  x_gates [T, B, 3H]  (time-major; gate order r, z, n)
+  w_h     [H, 3H]
+  h0      [B, H]
+  -> out  [T, B, H]
+
+Forward-only: the training path keeps the XLA scan (whose VJP jax derives),
+while eval/serving — where the text tower's latency actually matters — uses
+this kernel (``models.gru.BiGRUEncoder`` with ``use_pallas=True``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gru_scan_kernel(x_gates_hbm, w_h_ref, h0_ref, out_ref, h_scratch,
+                     xg_scratch, sem):
+    """One program: loop T steps, double-buffering x-gate slabs from HBM."""
+    seq_len = x_gates_hbm.shape[0]
+    hidden = h0_ref.shape[-1]
+
+    def get_dma(slot, t):
+        return pltpu.make_async_copy(
+            x_gates_hbm.at[t], xg_scratch.at[slot], sem.at[slot]
+        )
+
+    h_scratch[:] = h0_ref[:]
+    get_dma(0, 0).start()
+
+    def step(t, _):
+        slot = t % 2
+
+        @pl.when(t + 1 < seq_len)
+        def _():
+            get_dma((t + 1) % 2, t + 1).start()
+
+        get_dma(slot, t).wait()
+
+        h = h_scratch[:]
+        xg = xg_scratch[slot]
+        hg = jnp.dot(h, w_h_ref[:], preferred_element_type=jnp.float32)
+        r = jax.nn.sigmoid(xg[:, :hidden] + hg[:, :hidden])
+        z = jax.nn.sigmoid(
+            xg[:, hidden : 2 * hidden] + hg[:, hidden : 2 * hidden]
+        )
+        n = jnp.tanh(xg[:, 2 * hidden :] + r * hg[:, 2 * hidden :])
+        h_new = (1.0 - z) * n + z * h
+        h_scratch[:] = h_new
+        out_ref[t] = h_new
+        return 0
+
+    jax.lax.fori_loop(0, seq_len, step, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gru_scan_pallas(
+    x_gates: jax.Array,  # [T, B, 3H] float32
+    w_h: jax.Array,  # [H, 3H]
+    h0: jax.Array,  # [B, H]
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused GRU scan; returns [T, B, H]."""
+    seq, batch, three_h = x_gates.shape
+    hidden = h0.shape[-1]
+    assert three_h == 3 * hidden
+
+    out = pl.pallas_call(
+        _gru_scan_kernel,
+        out_shape=jax.ShapeDtypeStruct((seq, batch, hidden), x_gates.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x_gates stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_h resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # h0
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((batch, hidden), x_gates.dtype),  # h
+            pltpu.VMEM((2, batch, three_h), x_gates.dtype),  # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x_gates, w_h, h0)
+    return out
+
+
+def gru_scan_auto(x_gates_btg: jax.Array, w_h: jax.Array, h0: jax.Array,
+                  reverse: bool = False) -> jax.Array:
+    """Drop-in for ``models.gru.gru_scan`` (batch-major [B, T, 3H] in/out)
+    using the Pallas kernel on TPU; callers guard availability."""
+    xs = jnp.swapaxes(x_gates_btg, 0, 1)  # [T, B, 3H]
+    if reverse:
+        xs = xs[::-1]
+    ys = gru_scan_pallas(xs, w_h, h0)
+    if reverse:
+        ys = ys[::-1]
+    return jnp.swapaxes(ys, 0, 1)

@@ -1,0 +1,21 @@
+"""Backend selection helper.
+
+Some environments (e.g. this container's axon TPU plugin) force their
+platform through ``jax.config`` at interpreter start, which overrides the
+``JAX_PLATFORMS`` env var.  ``ensure_platform()`` re-asserts an explicit
+env-var request through the config API; call it before the first
+``jax.devices()`` (backends lock on first use).
+"""
+
+import os
+
+
+def ensure_platform() -> None:
+    requested = os.environ.get("JAX_PLATFORMS", "")
+    if "cpu" in requested.split(","):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", requested)
+        except Exception:
+            pass

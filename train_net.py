@@ -18,6 +18,10 @@ import numpy as np
 
 import jax
 
+from textreid_tpu.utils.platform import ensure_platform
+
+ensure_platform()
+
 
 def build_everything(cfg, logger):
     import jax.numpy as jnp
