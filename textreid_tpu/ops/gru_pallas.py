@@ -29,28 +29,34 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _gru_scan_kernel(x_gates_hbm, w_h_ref, h0_ref, out_ref, h_scratch,
-                     xg_scratch, sem):
-    """One program: loop T steps, double-buffering x-gate slabs from HBM."""
+def _gru_scan_kernel(x_gates_hbm, w_h_ref, h0_ref, out_hbm, h_scratch,
+                     xg_scratch, hout_scratch, in_sem, out_sem):
+    """One program: loop T steps; double-buffered input-slab reads from HBM
+    and double-buffered hidden-state writes back to HBM."""
     seq_len = x_gates_hbm.shape[0]
     hidden = h0_ref.shape[-1]
 
-    def get_dma(slot, t):
+    def in_dma(slot, t):
         return pltpu.make_async_copy(
-            x_gates_hbm.at[t], xg_scratch.at[slot], sem.at[slot]
+            x_gates_hbm.at[t], xg_scratch.at[slot], in_sem.at[slot]
+        )
+
+    def out_dma(slot, t):
+        return pltpu.make_async_copy(
+            hout_scratch.at[slot], out_hbm.at[t], out_sem.at[slot]
         )
 
     h_scratch[:] = h0_ref[:]
-    get_dma(0, 0).start()
+    in_dma(0, 0).start()
 
     def step(t, _):
         slot = t % 2
 
         @pl.when(t + 1 < seq_len)
         def _():
-            get_dma((t + 1) % 2, t + 1).start()
+            in_dma((t + 1) % 2, t + 1).start()
 
-        get_dma(slot, t).wait()
+        in_dma(slot, t).wait()
 
         h = h_scratch[:]
         xg = xg_scratch[slot]
@@ -62,10 +68,24 @@ def _gru_scan_kernel(x_gates_hbm, w_h_ref, h0_ref, out_ref, h_scratch,
         n = jnp.tanh(xg[:, 2 * hidden :] + r * hg[:, 2 * hidden :])
         h_new = (1.0 - z) * n + z * h
         h_scratch[:] = h_new
-        out_ref[t] = h_new
+
+        # Write h_new out through the slot's staging buffer; reclaim the
+        # slot's previous in-flight write first.
+        @pl.when(t >= 2)
+        def _():
+            out_dma(slot, t - 2).wait()
+
+        hout_scratch[slot] = h_new
+        out_dma(slot, t).start()
         return 0
 
     jax.lax.fori_loop(0, seq_len, step, 0)
+
+    @pl.when(seq_len >= 2)
+    def _():
+        out_dma((seq_len - 2) % 2, seq_len - 2).wait()
+
+    out_dma((seq_len - 1) % 2, seq_len - 1).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -88,10 +108,12 @@ def gru_scan_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w_h resident
             pl.BlockSpec(memory_space=pltpu.VMEM),  # h0
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM
         scratch_shapes=[
             pltpu.VMEM((batch, hidden), x_gates.dtype),  # h
-            pltpu.VMEM((2, batch, three_h), x_gates.dtype),  # double buffer
+            pltpu.VMEM((2, batch, three_h), x_gates.dtype),  # in dbl-buffer
+            pltpu.VMEM((2, batch, hidden), x_gates.dtype),  # out dbl-buffer
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

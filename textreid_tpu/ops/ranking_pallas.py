@@ -1,0 +1,186 @@
+"""Pallas TPU kernel: streaming similarity top-k for retrieval ranking.
+
+The reference ranks a gallery by materializing the full query x gallery
+similarity matrix and argsorting it (`/root/reference/lib/data/metrics/
+evaluation.py:11-37,117-120`).  For production-scale galleries that matrix
+is the memory bottleneck: a million-image gallery against 6k queries is
+24 GB — more than an entire v5e's HBM.
+
+This kernel never materializes it.  The grid tiles the query axis; each
+program streams gallery tiles through VMEM, computes the score tile on the
+MXU, and folds it into a running top-k with a k-pass max/mask reduction
+(pure VPU ops — no sorts or gathers, which TPU lacks).  HBM traffic is
+O(Q*D + G*D + Q*k) instead of O(Q*G).
+
+Tie-breaking: when two gallery items share a score, the larger index wins a
+slot first (the reference's argsort breaks ties arbitrarily as well).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -3.0e38
+
+
+def _topk_merge(buf_vals, buf_idx, k):
+    """k-pass max/mask: extract the top-k of each row of ``buf_vals``.
+
+    Returns ([Qt, k] values, [Qt, k] int32 indices); uses only elementwise
+    ops and row reductions so it lowers to the VPU.
+    """
+    out_vals = []
+    out_idx = []
+    for _ in range(k):
+        m = jnp.max(buf_vals, axis=1, keepdims=True)  # [Qt, 1]
+        is_max = buf_vals >= m
+        # largest index among the argmax ties
+        idx_of_max = jnp.max(
+            jnp.where(is_max, buf_idx, -1), axis=1, keepdims=True
+        )
+        out_vals.append(m)
+        out_idx.append(idx_of_max)
+        taken = is_max & (buf_idx == idx_of_max)
+        buf_vals = jnp.where(taken, NEG_INF, buf_vals)
+    return (
+        jnp.concatenate(out_vals, axis=1),
+        jnp.concatenate(out_idx, axis=1).astype(jnp.int32),
+    )
+
+
+def _make_kernel(k: int, gallery_tile: int, num_g_tiles: int,
+                 valid_gallery: int):
+    def kernel(q_ref, g_hbm, vals_ref, idx_ref, g_scratch, sem):
+        q = q_ref[:]  # [Qt, D]
+        qt = q.shape[0]
+
+        def g_dma(slot, tile):
+            return pltpu.make_async_copy(
+                g_hbm.at[pl.ds(tile * gallery_tile, gallery_tile), :],
+                g_scratch.at[slot],
+                sem.at[slot],
+            )
+
+        g_dma(0, 0).start()
+
+        run_vals = jnp.full((qt, k), NEG_INF, jnp.float32)
+        run_idx = jnp.full((qt, k), -1, jnp.int32)
+
+        def body(tile, carry):
+            run_vals, run_idx = carry
+            slot = tile % 2
+
+            @pl.when(tile + 1 < num_g_tiles)
+            def _():
+                g_dma((tile + 1) % 2, tile + 1).start()
+
+            g_dma(slot, tile).wait()
+
+            scores = jax.lax.dot_general(
+                q, g_scratch[slot],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Qt, Gt]
+            g_idx = tile * gallery_tile + jax.lax.broadcasted_iota(
+                jnp.int32, (qt, gallery_tile), 1
+            )
+            # gallery rows past the true count are padding: never selectable
+            scores = jnp.where(g_idx < valid_gallery, scores, NEG_INF)
+            buf_vals = jnp.concatenate([run_vals, scores], axis=1)
+            buf_idx = jnp.concatenate([run_idx, g_idx], axis=1)
+            return _topk_merge(buf_vals, buf_idx, k)
+
+        run_vals, run_idx = jax.lax.fori_loop(
+            0, num_g_tiles, body, (run_vals, run_idx)
+        )
+        vals_ref[:] = run_vals
+        idx_ref[:] = run_idx
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "query_tile", "gallery_tile", "valid_gallery",
+                     "interpret"),
+)
+def topk_similarity(
+    queries: jax.Array,  # [Q, D] (pre-normalized for cosine)
+    gallery: jax.Array,  # [G, D]
+    k: int = 10,
+    query_tile: int = 256,
+    gallery_tile: int = 512,
+    valid_gallery: int = 0,  # 0 = all rows valid; else rows >= this masked
+    interpret: bool = False,
+):
+    """Streaming top-k of ``queries @ gallery.T`` without materializing it.
+
+    Q must be a multiple of ``query_tile`` and G of ``gallery_tile`` (use
+    ``topk_similarity_padded`` otherwise).  Returns ([Q, k] scores,
+    [Q, k] int32 gallery indices), rows sorted descending.
+    """
+    q_count, dim = queries.shape
+    g_count = gallery.shape[0]
+    assert q_count % query_tile == 0, (q_count, query_tile)
+    assert g_count % gallery_tile == 0, (g_count, gallery_tile)
+    num_g_tiles = g_count // gallery_tile
+
+    kernel = _make_kernel(k, gallery_tile, num_g_tiles,
+                          valid_gallery or g_count)
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=(q_count // query_tile,),
+        out_shape=(
+            jax.ShapeDtypeStruct((q_count, k), jnp.float32),
+            jax.ShapeDtypeStruct((q_count, k), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(
+                (query_tile, dim), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # gallery streamed from HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((query_tile, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((query_tile, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, gallery_tile, dim), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(queries.astype(jnp.float32), gallery.astype(jnp.float32))
+    return vals, idx
+
+
+def topk_similarity_padded(queries, gallery, k=10, query_tile=256,
+                           gallery_tile=512, interpret=False):
+    """Pad-and-trim wrapper for arbitrary Q/G.  Padded gallery rows are
+    masked to ``NEG_INF`` *inside* the kernel (static ``valid_gallery``
+    bound), so they can never displace real items."""
+    q_count, _ = queries.shape
+    g_count = gallery.shape[0]
+
+    def pad_rows(x, mult):
+        rem = (-x.shape[0]) % mult
+        if rem == 0:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((rem, x.shape[1]), x.dtype)], axis=0
+        )
+
+    vals, idx = topk_similarity(
+        pad_rows(queries, query_tile),
+        pad_rows(gallery, gallery_tile),
+        k, query_tile, gallery_tile,
+        valid_gallery=g_count,
+        interpret=interpret,
+    )
+    return vals[:q_count], idx[:q_count]
