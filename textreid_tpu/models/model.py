@@ -195,12 +195,17 @@ class TextReIDModel(nn.Module):
 
 
 def build_visual_model(cfg, dtype=jnp.float32):
-    """Mirrors reference backbones/build.py:6-11."""
+    """Mirrors reference backbones/build.py:6-11, extended with the CLIP
+    ViT family (BASELINE.json stretch config)."""
     name = cfg.MODEL.VISUAL_MODEL
     if name in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152"):
         return build_resnet(cfg, dtype)
     if name in ("m_resnet", "m_resnet50", "m_resnet101"):
         return build_m_resnet(cfg, dtype)
+    if name.startswith("clip_vit") or name == "vit":
+        from .vit import build_vit
+
+        return build_vit(cfg, dtype)
     raise NotImplementedError(name)
 
 

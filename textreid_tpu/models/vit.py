@@ -1,0 +1,146 @@
+"""CLIP Vision Transformer visual encoder (ViT-B/32, B/16, L/14).
+
+The reference only ships the modified-ResNet CLIP backbones; a ViT option
+is the stretch configuration named in BASELINE.json ("CLIP ViT-B/16
+backbone + sharded large-gallery retrieval").  Architecture follows the
+published CLIP ViT: patchify conv -> prepended class token -> learned
+position embedding -> pre-LN transformer -> ``ln_post`` on the CLS token ->
+linear projection to the joint embedding space.
+
+TPU-first notes: attention is computed with a single fused QKV projection
+feeding ``jax.nn.dot_product_attention`` (XLA emits a fused kernel);
+non-square inputs (384x128 person crops) get a bilinearly-resized position
+embedding at weight-conversion time, same as the RN path
+(`utils/weight_convert.py:resize_pos_embed`).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class TransformerBlock(nn.Module):
+    width: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
+        batch, tokens, width = h.shape
+        head_dim = width // self.heads
+        qkv = nn.Dense(3 * width, dtype=self.dtype, name="qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_split(t):
+            return t.reshape(batch, tokens, self.heads, head_dim)
+
+        attn = jax.nn.dot_product_attention(
+            heads_split(q), heads_split(k), heads_split(v)
+        ).reshape(batch, tokens, width)
+        x = x + nn.Dense(width, dtype=self.dtype, name="out_proj")(attn)
+
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
+        h = nn.Dense(4 * width, dtype=self.dtype, name="c_fc")(h)
+        # CLIP uses QuickGELU: x * sigmoid(1.702 x)
+        h = h * jax.nn.sigmoid(1.702 * h)
+        return x + nn.Dense(width, dtype=self.dtype, name="c_proj")(h)
+
+
+class VisionTransformer(nn.Module):
+    input_resolution: Tuple[int, int] = (224, 224)
+    patch_size: int = 16
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    output_dim: int = 512
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def out_channels(self) -> int:
+        return self.output_dim
+
+    @property
+    def grid(self) -> Tuple[int, int]:
+        return (
+            self.input_resolution[0] // self.patch_size,
+            self.input_resolution[1] // self.patch_size,
+        )
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        """x: [B, H, W, 3] -> [B, output_dim].  ``train`` kept for API
+        parity with the ResNet towers (no BN here)."""
+        del train
+        batch = x.shape[0]
+        x = nn.Conv(
+            self.width, (self.patch_size,) * 2, strides=(self.patch_size,) * 2,
+            use_bias=False, dtype=self.dtype, name="patch_embed",
+        )(x)  # [B, gh, gw, width]
+        x = x.reshape(batch, -1, self.width)
+
+        cls = self.param(
+            "class_embedding",
+            nn.initializers.normal(stddev=self.width**-0.5),
+            (self.width,), self.dtype,
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls, (batch, 1, self.width)), x], axis=1
+        )
+        n_tokens = self.grid[0] * self.grid[1] + 1
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(stddev=self.width**-0.5),
+            (n_tokens, self.width), self.dtype,
+        )
+        x = x + pos[None]
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
+
+        for i in range(self.layers):
+            x = TransformerBlock(
+                self.width, self.heads, self.dtype, name=f"block_{i}"
+            )(x)
+
+        cls_out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(
+            x[:, 0]
+        )
+        proj = self.param(
+            "proj",
+            nn.initializers.normal(stddev=self.width**-0.5),
+            (self.width, self.output_dim), self.dtype,
+        )
+        return cls_out @ proj
+
+
+VIT_SPECS = {
+    "clip_vit_b32": dict(patch_size=32, width=768, layers=12, heads=12,
+                         output_dim=512),
+    "clip_vit_b16": dict(patch_size=16, width=768, layers=12, heads=12,
+                         output_dim=512),
+    "clip_vit_l14": dict(patch_size=14, width=1024, layers=24, heads=16,
+                         output_dim=768),
+}
+
+
+def build_vit(cfg, dtype=jnp.float32) -> VisionTransformer:
+    name = cfg.MODEL.VISUAL_MODEL
+    if name in VIT_SPECS:
+        spec = dict(VIT_SPECS[name])
+    else:  # fully custom via the MODEL.VIT section
+        spec = dict(
+            patch_size=cfg.MODEL.VIT.PATCH_SIZE,
+            width=cfg.MODEL.VIT.WIDTH,
+            layers=cfg.MODEL.VIT.LAYERS,
+            heads=cfg.MODEL.VIT.HEADS,
+            output_dim=cfg.MODEL.VIT.OUTPUT_DIM,
+        )
+    return VisionTransformer(
+        input_resolution=(cfg.INPUT.HEIGHT, cfg.INPUT.WIDTH),
+        dtype=dtype, **spec,
+    )

@@ -305,6 +305,60 @@ def convert_textreid_checkpoint(sd: StateDict, cfg) -> dict:
     return out
 
 
+def resize_pos_embed_2d(posemb: Array, src_grid: Tuple[int, int],
+                        new_grid: Tuple[int, int]) -> Array:
+    """Like :func:`resize_pos_embed` but with an explicit (possibly
+    non-square) source grid."""
+    tok, grid = posemb[:1], posemb[1:]
+    assert len(grid) == src_grid[0] * src_grid[1]
+    grid = grid.reshape(src_grid[0], src_grid[1], -1)
+    grid = _bilinear_axis(grid, new_grid[0], axis=0)
+    grid = _bilinear_axis(grid, new_grid[1], axis=1)
+    return np.concatenate(
+        [tok, grid.reshape(new_grid[0] * new_grid[1], -1)], axis=0
+    )
+
+
+def convert_clip_vit(sd: StateDict, layers: int,
+                     final_grid: Optional[Tuple[int, int]] = None) -> dict:
+    """CLIP VisionTransformer state dict (``visual.`` prefix tolerated) ->
+    our ``models.vit.VisionTransformer`` variables."""
+    sd = {
+        (k[len("visual."):] if k.startswith("visual.") else k): np.asarray(v)
+        for k, v in sd.items()
+    }
+
+    def ln(prefix):
+        return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+    pos = sd["positional_embedding"]
+    if final_grid is not None and len(pos) - 1 != final_grid[0] * final_grid[1]:
+        pos = resize_pos_embed(pos, final_grid)
+
+    params: dict = {
+        "patch_embed": {"kernel": conv_kernel(sd["conv1.weight"])},
+        "class_embedding": sd["class_embedding"],
+        "positional_embedding": pos,
+        "ln_pre": ln("ln_pre"),
+        "ln_post": ln("ln_post"),
+        "proj": sd["proj"],
+    }
+    for i in range(layers):
+        src = f"transformer.resblocks.{i}"
+        params[f"block_{i}"] = {
+            "ln_1": ln(f"{src}.ln_1"),
+            "qkv": {
+                "kernel": linear_kernel(sd[f"{src}.attn.in_proj_weight"]),
+                "bias": sd[f"{src}.attn.in_proj_bias"],
+            },
+            "out_proj": _dense(sd, f"{src}.attn.out_proj"),
+            "ln_2": ln(f"{src}.ln_2"),
+            "c_fc": _dense(sd, f"{src}.mlp.c_fc"),
+            "c_proj": _dense(sd, f"{src}.mlp.c_proj"),
+        }
+    return {"params": params}
+
+
 # ---------------------------------------------------------------------------
 # file readers (torch only needed here)
 # ---------------------------------------------------------------------------
