@@ -28,11 +28,13 @@ class CUHKPEDESDataset:
         use_onehot: bool = True,
         max_length: int = 105,
         transforms=None,
+        tokenizer=None,
     ):
         self.root = root
         self.use_onehot = use_onehot
         self.max_length = max_length
         self.transforms = transforms
+        self.tokenizer = tokenizer
         self.img_dir = os.path.join(root, "imgs")
 
         with open(ann_file, "r") as f:
@@ -46,6 +48,9 @@ class CUHKPEDESDataset:
         """Return (ids[max_length] int32, true length clipped to max_length)."""
         if self.use_onehot:
             raw = np.asarray(record["onehot"], dtype=np.int32)
+        elif self.tokenizer is not None:
+            ids, length = self.tokenizer(record["sentence"])
+            return ids, length
         else:
             raise ValueError(
                 "Raw-sentence records require a tokenizer; see "

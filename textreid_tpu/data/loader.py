@@ -144,6 +144,11 @@ def build_dataset(cfg, dataset_names, transforms, is_train: bool):
     """Mirrors reference build.py:12-41."""
     if not isinstance(dataset_names, (list, tuple)):
         raise RuntimeError(f"dataset list expected, got {dataset_names!r}")
+    tokenizer = None
+    if not cfg.DATASETS.USE_ONEHOT:
+        from .tokenizer import build_tokenizer
+
+        tokenizer = build_tokenizer(cfg)
     datasets = []
     for name in dataset_names:
         spec = DatasetCatalog.get(cfg.ROOT, name)
@@ -153,6 +158,7 @@ def build_dataset(cfg, dataset_names, transforms, is_train: bool):
                 transforms=transforms,
                 use_onehot=cfg.DATASETS.USE_ONEHOT,
                 max_length=cfg.INPUT.MAX_TEXT_LENGTH,
+                tokenizer=tokenizer,
                 **spec["args"],
             )
         )

@@ -110,6 +110,9 @@ class BiGRUEncoder(nn.Module):
     # clip_vocab_vit.npy).  Stored in the non-trainable "constants"
     # collection at init time.
     frozen_table_init: Optional[Callable[[], jnp.ndarray]] = None
+    # Fused Pallas scan kernel (ops/gru_pallas.py) for the serving path.
+    # Forward-only: training keeps the XLA scan whose VJP jax derives.
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -170,7 +173,12 @@ class BiGRUEncoder(nn.Module):
                     batch, seq, 3 * self.hidden_dim
                 )
                 h0 = jnp.zeros((batch, self.hidden_dim), self.dtype)
-                layer_in = gru_scan(x_gates, w_h, h0)
+                if self.use_pallas:
+                    from ..ops.gru_pallas import gru_scan_auto
+
+                    layer_in = gru_scan_auto(x_gates, w_h, h0)
+                else:
+                    layer_in = gru_scan(x_gates, w_h, h0)
             return layer_in
 
         out_fwd = direction(x, "fwd")
@@ -189,8 +197,12 @@ class BiGRUEncoder(nn.Module):
         return jnp.max(out, axis=1)
 
 
-def build_bigru(cfg, frozen_table_init=None) -> BiGRUEncoder:
-    """Constructor mirroring the reference builder (gru.py:91-117)."""
+def build_bigru(cfg, frozen_table_init=None,
+                use_pallas: bool = False) -> BiGRUEncoder:
+    """Constructor mirroring the reference builder (gru.py:91-117).
+
+    ``use_pallas`` selects the fused forward-only scan kernel — enable it
+    only on eval/serving model instances (the kernel has no VJP)."""
     return BiGRUEncoder(
         hidden_dim=cfg.MODEL.GRU.NUM_UNITS,
         vocab_size=cfg.MODEL.GRU.VOCABULARY_SIZE,
@@ -199,4 +211,5 @@ def build_bigru(cfg, frozen_table_init=None) -> BiGRUEncoder:
         bidirectional=True,
         use_onehot=cfg.MODEL.GRU.ONEHOT,
         frozen_table_init=frozen_table_init,
+        use_pallas=use_pallas,
     )

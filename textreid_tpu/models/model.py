@@ -209,18 +209,22 @@ def build_visual_model(cfg, dtype=jnp.float32):
     raise NotImplementedError(name)
 
 
-def build_textual_model(cfg, frozen_table_init=None):
+def build_textual_model(cfg, frozen_table_init=None, use_pallas=False):
     """Mirrors reference backbones/build.py:14-17."""
     if cfg.MODEL.TEXTUAL_MODEL == "bigru":
-        return build_bigru(cfg, frozen_table_init)
+        return build_bigru(cfg, frozen_table_init, use_pallas)
     raise NotImplementedError(cfg.MODEL.TEXTUAL_MODEL)
 
 
-def build_model(cfg, frozen_table_init=None, dtype=jnp.float32) -> TextReIDModel:
-    """Mirrors reference model.py:44-45 / build_model(cfg)."""
+def build_model(cfg, frozen_table_init=None, dtype=jnp.float32,
+                use_pallas=False) -> TextReIDModel:
+    """Mirrors reference model.py:44-45 / build_model(cfg).
+
+    ``use_pallas`` swaps in the forward-only fused Pallas scan for the text
+    tower — for eval/serving instances only (no VJP)."""
     return TextReIDModel(
         visual=build_visual_model(cfg, dtype),
-        textual=build_textual_model(cfg, frozen_table_init),
+        textual=build_textual_model(cfg, frozen_table_init, use_pallas),
         feature_size=cfg.MODEL.EMBEDDING.FEATURE_SIZE,
         num_classes=cfg.MODEL.NUM_CLASSES,
         embed_head=cfg.MODEL.EMBEDDING.EMBED_HEAD,
