@@ -77,8 +77,10 @@ def simple_train_step(model, tx, epsilon: float):
         )
         v_embed = model.apply({"params": params}, v_feat, method="embed_image")
         t_embed = model.apply({"params": params}, t_feat, method="embed_text")
+        v_embed = v_embed.astype(jnp.float32)
+        t_embed = t_embed.astype(jnp.float32)
         labels = batch["pids"]
-        projection = params["projection"]
+        projection = params["projection"].astype(jnp.float32)
         loss_dict = {
             "instance_loss": losses.instance_loss(
                 projection, v_embed, t_embed, labels, epsilon=epsilon
@@ -144,8 +146,9 @@ def moco_train_step(model, tx, cfg):
             # no_grad (head.py:139,144) — no momentum copy of the embed layer.
             v_k = model.apply({"params": params}, v_feat_k, method="embed_image")
             t_k = model.apply({"params": params}, t_feat_k, method="embed_text")
-        v_k = losses.l2_normalize(v_k, axis=1)
-        t_k = losses.l2_normalize(t_k, axis=1)
+        # losses/queue run in f32 regardless of tower compute dtype
+        v_k = losses.l2_normalize(v_k.astype(jnp.float32), axis=1)
+        t_k = losses.l2_normalize(t_k.astype(jnp.float32), axis=1)
         return (
             jax.lax.stop_gradient(v_k),
             jax.lax.stop_gradient(t_k),
@@ -165,13 +168,15 @@ def moco_train_step(model, tx, cfg):
         )
         v_embed = model.apply({"params": params}, v_feat, method="embed_image")
         t_embed = model.apply({"params": params}, t_feat, method="embed_text")
+        v_embed = v_embed.astype(jnp.float32)
+        t_embed = t_embed.astype(jnp.float32)
         if use_fc:
             v_q = model.apply({"params": params}, v_feat, method="project_image")
             t_q = model.apply({"params": params}, t_feat, method="project_text")
         else:
             v_q, t_q = v_embed, t_embed
-        v_q = losses.l2_normalize(v_q, axis=1)
-        t_q = losses.l2_normalize(t_q, axis=1)
+        v_q = losses.l2_normalize(v_q.astype(jnp.float32), axis=1)
+        t_q = losses.l2_normalize(t_q.astype(jnp.float32), axis=1)
 
         ids = batch["pids"].astype(jnp.int32)
 
@@ -190,7 +195,8 @@ def moco_train_step(model, tx, cfg):
 
         loss_dict = {
             "instance_loss": losses.instance_loss(
-                params["projection"], v_embed, t_embed, ids, epsilon=epsilon
+                params["projection"].astype(jnp.float32), v_embed, t_embed,
+                ids, epsilon=epsilon
             ),
             "infonce_loss": losses.infonce_loss(
                 v_pos, v_neg, t_pos, t_neg, temperature

@@ -125,10 +125,10 @@ class BiGRUEncoder(nn.Module):
                 "token_embedding",
                 nn.initializers.normal(stddev=1.0),
                 (self.vocab_size, self.embed_size),
-                self.dtype,
+                jnp.float32,  # f32 master copy
             )
             # torch nn.Embedding(padding_idx=0) zeroes the pad row.
-            table = table.at[0].set(0.0)
+            table = table.at[0].set(0.0).astype(self.dtype)
             return jnp.take(table, token_ids, axis=0)
 
         if self.frozen_table_init is not None:
@@ -161,14 +161,15 @@ class BiGRUEncoder(nn.Module):
             for layer in range(self.num_layers):
                 in_dim = layer_in.shape[-1]
                 w_i = self.param(
-                    f"{name}_w_ih_l{layer}", init, (in_dim, 3 * self.hidden_dim), self.dtype
-                )
+                    f"{name}_w_ih_l{layer}", init,
+                    (in_dim, 3 * self.hidden_dim), jnp.float32,
+                ).astype(self.dtype)
                 w_h = self.param(
                     f"{name}_w_hh_l{layer}",
                     init,
                     (self.hidden_dim, 3 * self.hidden_dim),
-                    self.dtype,
-                )
+                    jnp.float32,
+                ).astype(self.dtype)
                 x_gates = (layer_in.reshape(batch * seq, in_dim) @ w_i).reshape(
                     batch, seq, 3 * self.hidden_dim
                 )

@@ -95,9 +95,9 @@ class AttentionPool2d(nn.Module):
             "positional_embedding",
             nn.initializers.normal(stddev=c**-0.5),
             (h * w + 1, c),
-            self.dtype,
+            jnp.float32,  # f32 master copy; cast to compute dtype at use
         )
-        tokens = tokens + pos[None]
+        tokens = tokens + pos[None].astype(tokens.dtype)
 
         head_dim = self.embed_dim // self.num_heads
         dense = lambda feats, name: nn.Dense(feats, dtype=self.dtype, name=name)  # noqa: E731

@@ -137,7 +137,7 @@ class TextReIDModel(nn.Module):
             "projection",
             xavier_uniform_init,
             (self.feature_size, self.num_classes),
-            self.dtype,
+            jnp.float32,  # master weights stay f32; losses run in f32
         )
 
     # -- backbone features ---------------------------------------------------

@@ -88,8 +88,8 @@ class VisionTransformer(nn.Module):
         cls = self.param(
             "class_embedding",
             nn.initializers.normal(stddev=self.width**-0.5),
-            (self.width,), self.dtype,
-        )
+            (self.width,), jnp.float32,
+        ).astype(self.dtype)
         x = jnp.concatenate(
             [jnp.broadcast_to(cls, (batch, 1, self.width)), x], axis=1
         )
@@ -97,9 +97,9 @@ class VisionTransformer(nn.Module):
         pos = self.param(
             "positional_embedding",
             nn.initializers.normal(stddev=self.width**-0.5),
-            (n_tokens, self.width), self.dtype,
+            (n_tokens, self.width), jnp.float32,
         )
-        x = x + pos[None]
+        x = x + pos[None].astype(x.dtype)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
 
         for i in range(self.layers):
@@ -113,9 +113,9 @@ class VisionTransformer(nn.Module):
         proj = self.param(
             "proj",
             nn.initializers.normal(stddev=self.width**-0.5),
-            (self.width, self.output_dim), self.dtype,
+            (self.width, self.output_dim), jnp.float32,
         )
-        return cls_out @ proj
+        return cls_out @ proj.astype(cls_out.dtype)
 
 
 VIT_SPECS = {
