@@ -23,7 +23,7 @@ import jax
 import numpy as np
 
 from ..evaluation.metrics import evaluation, format_results_table
-from ..parallel.mesh import shard_batch
+from ..parallel.mesh import replicate_state, shard_batch
 from .state import TrainState
 from .steps import encode_step
 
@@ -31,6 +31,9 @@ from .steps import encode_step
 def compute_embeddings(model, state: TrainState, data_loader, mesh=None):
     """Encode the whole loader; returns per-sample arrays ordered by dataset
     index (reference compute_on_dataset, inference.py:14-26)."""
+    if mesh is not None:
+        # batches arrive mesh-sharded; the state must live on the same mesh
+        state = replicate_state(state, mesh)
 
     @jax.jit
     def _encode(state, batch):
