@@ -163,3 +163,45 @@ class TestBiGRUEncoderModule:
         assert all(f.shape != (40, 8) for f in flat)
         out = enc.apply(variables, ids, lens)
         assert out.shape == (1, 16)
+
+
+class TestMultiLayerBiGRU:
+    def test_two_layer_parity_with_torch(self):
+        """torch layer l+1 consumes the concat of both directions of layer l;
+        verify the module reproduces a 2-layer bidirectional GRU exactly."""
+        rng = np.random.RandomState(11)
+        b, t, e, h, v = 4, 9, 6, 5, 30
+
+        gru = torch.nn.GRU(e, h, num_layers=2, bias=False, bidirectional=True,
+                           batch_first=True)
+        ids = rng.randint(1, v, (b, t))
+        lengths = np.array([9, 3, 6, 1], dtype=np.int64)
+        table = rng.randn(v, e).astype(np.float32)
+        x = table[ids]
+
+        xt = torch.from_numpy(x)
+        lens = torch.from_numpy(lengths)
+        order = torch.argsort(lens, descending=True)
+        inv = torch.argsort(order)
+        packed = torch.nn.utils.rnn.pack_padded_sequence(
+            xt[order], lens[order], batch_first=True)
+        out, _ = gru(packed)
+        out, _ = torch.nn.utils.rnn.pad_packed_sequence(
+            out, batch_first=True, total_length=t)
+        want = out[inv].max(dim=1).values.detach().numpy()
+
+        enc = BiGRUEncoder(hidden_dim=h, vocab_size=v, embed_size=e,
+                           num_layers=2, use_onehot="yes")
+        variables = enc.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                             jnp.asarray(lengths, jnp.int32))
+        params = dict(variables["params"])
+        params["token_embedding"] = jnp.asarray(table)
+        for layer in range(2):
+            for name, tkey in [("fwd", ""), ("bwd", "_reverse")]:
+                params[f"{name}_w_ih_l{layer}"] = jnp.asarray(
+                    getattr(gru, f"weight_ih_l{layer}{tkey}").detach().numpy().T)
+                params[f"{name}_w_hh_l{layer}"] = jnp.asarray(
+                    getattr(gru, f"weight_hh_l{layer}{tkey}").detach().numpy().T)
+        got = enc.apply({"params": params}, jnp.asarray(ids),
+                        jnp.asarray(lengths, jnp.int32))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)

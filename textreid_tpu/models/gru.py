@@ -113,6 +113,9 @@ class BiGRUEncoder(nn.Module):
     # Fused Pallas scan kernel (ops/gru_pallas.py) for the serving path.
     # Forward-only: training keeps the XLA scan whose VJP jax derives.
     use_pallas: bool = False
+    # Inter-layer dropout (torch GRU semantics: between layers only,
+    # 1 - DROPOUT_KEEP_PROB); no-op with a single layer.
+    dropout_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -148,53 +151,62 @@ class BiGRUEncoder(nn.Module):
         return embedded
 
     @nn.compact
-    def __call__(self, token_ids: Array, lengths: Array) -> Array:
-        """token_ids: [B, T] int32, lengths: [B] int32 -> [B, out_channels]."""
+    def __call__(self, token_ids: Array, lengths: Array,
+                 deterministic: bool = True) -> Array:
+        """token_ids: [B, T] int32, lengths: [B] int32 -> [B, out_channels].
+
+        Multi-layer semantics match ``torch.nn.GRU``: layer ``l+1`` consumes
+        the concatenation of *both* directions of layer ``l``; inter-layer
+        dropout (``1 - DROPOUT_KEEP_PROB``) applies to every layer output
+        except the last (gru.py:36-43).
+        """
         x = self.embed_tokens(token_ids)
         batch, seq, _ = x.shape
         lengths = jnp.clip(lengths, 1, seq)
 
         init = torch_rnn_init(self.hidden_dim)
 
-        def direction(inputs, name):
-            layer_in = inputs
-            for layer in range(self.num_layers):
-                in_dim = layer_in.shape[-1]
-                w_i = self.param(
-                    f"{name}_w_ih_l{layer}", init,
-                    (in_dim, 3 * self.hidden_dim), jnp.float32,
-                ).astype(self.dtype)
-                w_h = self.param(
-                    f"{name}_w_hh_l{layer}",
-                    init,
-                    (self.hidden_dim, 3 * self.hidden_dim),
-                    jnp.float32,
-                ).astype(self.dtype)
-                x_gates = (layer_in.reshape(batch * seq, in_dim) @ w_i).reshape(
-                    batch, seq, 3 * self.hidden_dim
+        def run_direction(inputs, name, layer):
+            in_dim = inputs.shape[-1]
+            w_i = self.param(
+                f"{name}_w_ih_l{layer}", init,
+                (in_dim, 3 * self.hidden_dim), jnp.float32,
+            ).astype(self.dtype)
+            w_h = self.param(
+                f"{name}_w_hh_l{layer}", init,
+                (self.hidden_dim, 3 * self.hidden_dim), jnp.float32,
+            ).astype(self.dtype)
+            x_gates = (inputs.reshape(batch * seq, in_dim) @ w_i).reshape(
+                batch, seq, 3 * self.hidden_dim
+            )
+            h0 = jnp.zeros((batch, self.hidden_dim), self.dtype)
+            if self.use_pallas:
+                from ..ops.gru_pallas import gru_scan_auto
+
+                return gru_scan_auto(x_gates, w_h, h0)
+            return gru_scan(x_gates, w_h, h0)
+
+        layer_in = x
+        for layer in range(self.num_layers):
+            out_fwd = run_direction(layer_in, "fwd", layer)
+            if self.bidirectional:
+                rev_in = reverse_padded(layer_in, lengths)
+                out_bwd = reverse_padded(
+                    run_direction(rev_in, "bwd", layer), lengths
                 )
-                h0 = jnp.zeros((batch, self.hidden_dim), self.dtype)
-                if self.use_pallas:
-                    from ..ops.gru_pallas import gru_scan_auto
-
-                    layer_in = gru_scan_auto(x_gates, w_h, h0)
-                else:
-                    layer_in = gru_scan(x_gates, w_h, h0)
-            return layer_in
-
-        out_fwd = direction(x, "fwd")
-        if self.bidirectional:
-            x_rev = reverse_padded(x, lengths)
-            out_bwd_rev = direction(x_rev, "bwd")
-            out_bwd = reverse_padded(out_bwd_rev, lengths)
-            out = jnp.concatenate([out_fwd, out_bwd], axis=-1)
-        else:
-            out = out_fwd
+                layer_out = jnp.concatenate([out_fwd, out_bwd], axis=-1)
+            else:
+                layer_out = out_fwd
+            if self.dropout_rate > 0 and layer < self.num_layers - 1:
+                layer_out = nn.Dropout(self.dropout_rate)(
+                    layer_out, deterministic=deterministic
+                )
+            layer_in = layer_out
 
         # Zero out t >= len, then max over time (reference gru.py:62-64
         # max-pools the pad-packed output whose padded positions are zero).
         valid = (jnp.arange(seq)[None, :] < lengths[:, None])[..., None]
-        out = jnp.where(valid, out, 0.0)
+        out = jnp.where(valid, layer_in, 0.0)
         return jnp.max(out, axis=1)
 
 
@@ -213,4 +225,5 @@ def build_bigru(cfg, frozen_table_init=None,
         use_onehot=cfg.MODEL.GRU.ONEHOT,
         frozen_table_init=frozen_table_init,
         use_pallas=use_pallas,
+        dropout_rate=1.0 - cfg.MODEL.GRU.DROPOUT_KEEP_PROB,
     )
