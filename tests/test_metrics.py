@@ -107,3 +107,64 @@ class TestEvaluationEndToEnd:
         img, txt, pids, image_ids = self._toy()
         res = evaluation(img, txt, pids, pids, image_ids, rerank=False)
         assert "re_t2i" not in res
+
+
+class TestInferenceReplay:
+    def test_npz_cache_replay(self, tmp_path):
+        """inference() caches embeddings to inference_data.npz and replays
+        them without a model pass (reference inference.py:64 +
+        evaluation.py:85-95)."""
+        import jax
+        import jax.numpy as jnp
+
+        from textreid_tpu.engine.inference import inference
+        from textreid_tpu.models import BiGRUEncoder, TextReIDModel
+        from textreid_tpu.models.m_resnet import ModifiedResNet
+
+        rng = np.random.RandomState(0)
+        n = 6
+        model = TextReIDModel(
+            visual=ModifiedResNet(layers=(1, 1, 1, 1), output_dim=8, heads=4,
+                                  last_stride=1, input_resolution=(32, 16),
+                                  width=16),
+            textual=BiGRUEncoder(hidden_dim=4, vocab_size=20, embed_size=4),
+            feature_size=8, num_classes=4,
+        )
+        batch = {
+            "pixels": rng.randint(0, 255, (n, 32, 16, 3), dtype=np.uint8),
+            "erase": np.zeros((n, 5), np.int32),
+            "token_ids": rng.randint(1, 20, (n, 6)).astype(np.int32),
+            "lengths": rng.randint(2, 6, (n,)).astype(np.int32),
+            "pids": np.array([0, 0, 1, 1, 2, 2], np.int32),
+            "image_ids": np.arange(n, dtype=np.int32),
+            "index": np.arange(n, dtype=np.int32),
+            "valid": np.ones(n, bool),
+        }
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(batch["pixels"]),
+            jnp.asarray(batch["token_ids"]), jnp.asarray(batch["lengths"]),
+            method="init_all",
+        )
+        from textreid_tpu.engine.state import TrainState
+
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            constants=variables.get("constants", {}), opt_state=None,
+        )
+        class FakeLoader(list):
+            dataset = list(range(n))
+
+        fl = FakeLoader([dict(batch)])
+        out_dir = str(tmp_path)
+        top1_a = inference(model, state, fl, output_folder=out_dir,
+                           save_data=True, rerank=True)
+        assert (tmp_path / "inference_data.npz").exists()
+
+        # poison the model params: replay must not recompute
+        bad_state = state.replace(
+            params=jax.tree.map(lambda x: x * 0.0, state.params)
+        )
+        top1_b = inference(model, bad_state, fl, output_folder=out_dir,
+                           save_data=True, rerank=True)
+        assert top1_a == top1_b

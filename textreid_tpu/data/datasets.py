@@ -14,7 +14,7 @@ from __future__ import annotations
 import bisect
 import json
 import os
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 from PIL import Image

@@ -17,10 +17,7 @@ from __future__ import annotations
 import datetime
 import logging
 import time
-from typing import Optional
-
 import jax
-import numpy as np
 
 from ..parallel.mesh import replicate_state, shard_batch
 from ..solver.build import set_learning_rate

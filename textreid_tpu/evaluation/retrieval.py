@@ -19,8 +19,6 @@ Total HBM per chip: O(G/n * D); interconnect: O(Q * k * n).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -30,7 +28,7 @@ try:
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+from ..parallel.mesh import DATA_AXIS
 
 
 def _local_topk_xla(queries, gallery_shard, k):

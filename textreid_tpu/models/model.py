@@ -22,13 +22,13 @@ JAX's functional training model:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from .gru import BiGRUEncoder, build_bigru
-from .m_resnet import ModifiedResNet, build_m_resnet
+from .m_resnet import build_m_resnet
 from .resnet import ResNet, build_resnet
 
 Array = Any
