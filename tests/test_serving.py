@@ -1,0 +1,92 @@
+"""Serving API tests: gallery indexing + text query search, single device
+and gallery-sharded over the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from textreid_tpu.engine.state import TrainState
+from textreid_tpu.models import BiGRUEncoder, TextReIDModel
+from textreid_tpu.models.m_resnet import ModifiedResNet
+from textreid_tpu.parallel import make_mesh
+from textreid_tpu.serving import RetrievalIndex
+
+
+@pytest.fixture(scope="module")
+def model_and_state():
+    model = TextReIDModel(
+        visual=ModifiedResNet(layers=(1, 1, 1, 1), output_dim=16, heads=4,
+                              last_stride=1, input_resolution=(32, 16),
+                              width=16),
+        textual=BiGRUEncoder(hidden_dim=8, vocab_size=30, embed_size=8),
+        feature_size=16, num_classes=4,
+    )
+    rng = np.random.RandomState(0)
+    pixels = jnp.asarray(rng.randint(0, 255, (2, 32, 16, 3), dtype=np.uint8))
+    ids = jnp.asarray(rng.randint(1, 30, (2, 8)).astype(np.int32))
+    lens = jnp.asarray([8, 4], dtype=jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), pixels, ids, lens,
+                           method="init_all")
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        constants=variables.get("constants", {}), opt_state=None,
+    )
+    return model, state
+
+
+def _gallery_batches(n=10, bs=5, seed=1):
+    rng = np.random.RandomState(seed)
+    return [rng.randint(0, 255, (bs, 32, 16, 3), dtype=np.uint8)
+            for _ in range(n // bs)]
+
+
+class TestRetrievalIndex:
+    def test_search_returns_ranked_matches(self, model_and_state):
+        model, state = model_and_state
+        index = RetrievalIndex(model, state, query_batch=4, use_pallas=False)
+        index.build_gallery(_gallery_batches(),
+                            meta=np.arange(100, 110))
+        rng = np.random.RandomState(2)
+        token_ids = rng.randint(1, 30, (3, 8)).astype(np.int32)
+        lengths = np.array([8, 5, 2], np.int32)
+        scores, meta = index.search(token_ids, lengths, k=4)
+        assert scores.shape == (3, 4) and meta.shape == (3, 4)
+        assert (np.diff(scores, axis=1) <= 1e-6).all()  # descending
+        assert set(meta.ravel()).issubset(set(range(100, 110)))
+
+    def test_query_batch_padding_invariant(self, model_and_state):
+        """Results must not depend on how queries pack into padded batches."""
+        model, state = model_and_state
+        idx_small = RetrievalIndex(model, state, query_batch=2,
+                                   use_pallas=False)
+        idx_big = RetrievalIndex(model, state, query_batch=16,
+                                 use_pallas=False)
+        g = _gallery_batches()
+        idx_small.build_gallery(g)
+        idx_big.build_gallery(g)
+        rng = np.random.RandomState(3)
+        token_ids = rng.randint(1, 30, (5, 8)).astype(np.int32)
+        lengths = rng.randint(1, 8, 5).astype(np.int32)
+        s1, m1 = idx_small.search(token_ids, lengths, k=3)
+        s2, m2 = idx_big.search(token_ids, lengths, k=3)
+        np.testing.assert_allclose(s1, s2, atol=1e-5)
+        np.testing.assert_array_equal(m1, m2)
+
+    def test_sharded_gallery_matches_single_device(self, model_and_state):
+        model, state = model_and_state
+        plain = RetrievalIndex(model, state, use_pallas=False)
+        mesh = make_mesh(8)
+        sharded = RetrievalIndex(model, state, mesh=mesh, use_pallas=False)
+        g = _gallery_batches(n=10)
+        plain.build_gallery(g)
+        sharded.build_gallery(g)  # 10 rows padded to 16 across 8 shards
+        rng = np.random.RandomState(4)
+        token_ids = rng.randint(1, 30, (4, 8)).astype(np.int32)
+        lengths = np.full(4, 8, np.int32)
+        s1, m1 = plain.search(token_ids, lengths, k=3)
+        s2, m2 = sharded.search(token_ids, lengths, k=3)
+        np.testing.assert_allclose(s1, s2, atol=1e-5)
+        np.testing.assert_array_equal(m1, m2)

@@ -55,24 +55,33 @@ def sharded_topk_retrieval(
             f"(pad the gallery with zero rows and mask downstream)"
         )
     shard_rows = g_count // n_shards
+    # Each shard only needs min(k, rows) local candidates; the global merge
+    # pools n * k_local of them (must still cover k).
+    k_local = min(k, shard_rows)
+    if n_shards * k_local < k:
+        raise ValueError(
+            f"top-{k} infeasible: {n_shards} shards x {k_local} local "
+            f"candidates"
+        )
 
     def local_rank(queries, gallery_shard):
         # gallery_shard: [G/n, D] (this chip's rows)
         if use_pallas:
             from ..ops.ranking_pallas import topk_similarity_padded
 
-            vals, idx = topk_similarity_padded(queries, gallery_shard, k=k)
+            vals, idx = topk_similarity_padded(queries, gallery_shard,
+                                               k=k_local)
         else:
-            vals, idx = _local_topk_xla(queries, gallery_shard, k)
+            vals, idx = _local_topk_xla(queries, gallery_shard, k_local)
         # globalize row ids
         shard_id = jax.lax.axis_index(DATA_AXIS)
         idx = idx + shard_id * shard_rows
-        # gather every shard's candidates: [n, Q, k] -> [Q, n*k]
+        # gather every shard's candidates: [n, Q, k_local] -> [Q, n*k_local]
         all_vals = jax.lax.all_gather(vals, DATA_AXIS)
         all_idx = jax.lax.all_gather(idx, DATA_AXIS)
         q = queries.shape[0]
-        all_vals = jnp.moveaxis(all_vals, 0, 1).reshape(q, n_shards * k)
-        all_idx = jnp.moveaxis(all_idx, 0, 1).reshape(q, n_shards * k)
+        all_vals = jnp.moveaxis(all_vals, 0, 1).reshape(q, n_shards * k_local)
+        all_idx = jnp.moveaxis(all_idx, 0, 1).reshape(q, n_shards * k_local)
         top_vals, pos = jax.lax.top_k(all_vals, k)
         top_idx = jnp.take_along_axis(all_idx, pos, axis=1)
         return top_vals, top_idx

@@ -1,0 +1,167 @@
+"""Production retrieval serving API.
+
+The reference stops at offline evaluation; this module packages the towers
+for deployment: build a gallery index once (encode + L2-normalize + optional
+mesh sharding), then answer free-text queries with top-k person matches.
+
+Design: both towers are jitted once per batch shape; queries run at fixed
+padded batch sizes so repeated calls never recompile.  Ranking uses the
+streaming Pallas top-k on TPU (never materializing queries x gallery) and
+``jax.lax.top_k`` elsewhere; galleries sharded over a mesh rank via
+``evaluation.retrieval.sharded_topk_retrieval``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .engine.state import TrainState
+from .models.losses import l2_normalize
+
+
+class RetrievalIndex:
+    """An encoded, normalized gallery plus the query tower."""
+
+    def __init__(
+        self,
+        model,
+        state: TrainState,
+        query_batch: int = 64,
+        mesh=None,
+        use_pallas: Optional[bool] = None,
+    ):
+        self.model = model
+        self.state = state
+        self.query_batch = query_batch
+        self.mesh = mesh
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+        self.gallery: Optional[jax.Array] = None  # [G, D] normalized
+        self.gallery_meta: Optional[np.ndarray] = None
+
+        @jax.jit
+        def _encode_images(state, pixels, erase):
+            feat = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats,
+                 "constants": state.constants},
+                pixels, erase=erase, method="encode_image",
+            )
+            emb = model.apply({"params": state.params}, feat,
+                              method="embed_image")
+            return l2_normalize(emb.astype(jnp.float32), axis=1)
+
+        @jax.jit
+        def _encode_texts(state, token_ids, lengths):
+            feat = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats,
+                 "constants": state.constants},
+                token_ids, lengths, method="encode_text",
+            )
+            emb = model.apply({"params": state.params}, feat,
+                              method="embed_text")
+            return l2_normalize(emb.astype(jnp.float32), axis=1)
+
+        self._encode_images = _encode_images
+        self._encode_texts = _encode_texts
+
+    # -- gallery ----------------------------------------------------------
+    def build_gallery(self, batches, meta=None) -> None:
+        """Encode an iterable of pixel batches ([B,H,W,3] uint8/f32) into
+        the index.  ``meta`` optionally carries per-image ids."""
+        chunks = []
+        for batch in batches:
+            pixels = jnp.asarray(batch)
+            erase = jnp.zeros((pixels.shape[0], 5), jnp.int32)
+            chunks.append(self._encode_images(self.state, pixels, erase))
+        self.gallery = jnp.concatenate(chunks, axis=0)
+        self.gallery_meta = (
+            np.asarray(meta) if meta is not None
+            else np.arange(self.gallery.shape[0])
+        )
+        self._augmented = False
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .parallel.mesh import DATA_AXIS
+
+            n = self.mesh.shape[DATA_AXIS]
+            g, d = self.gallery.shape
+            if g % n:
+                # Pad with rows whose similarity is guaranteed below any
+                # cosine score: augment a feature column — real rows [g, 0],
+                # pad rows [0, -2], queries [q, 1] -> pad score = -2 < -1.
+                pad = n - g % n
+                real = jnp.concatenate(
+                    [self.gallery, jnp.zeros((g, 1), self.gallery.dtype)],
+                    axis=1,
+                )
+                pads = jnp.concatenate(
+                    [jnp.zeros((pad, d)), jnp.full((pad, 1), -2.0)], axis=1
+                )
+                self.gallery = jnp.concatenate([real, pads], axis=0)
+                self._augmented = True
+            self.gallery = jax.device_put(
+                self.gallery, NamedSharding(self.mesh, P(DATA_AXIS))
+            )
+
+    # -- queries ----------------------------------------------------------
+    def encode_queries(self, token_ids: np.ndarray,
+                       lengths: np.ndarray) -> jax.Array:
+        """Tokenized queries -> normalized embeddings, fixed-batch padded."""
+        n = token_ids.shape[0]
+        bs = self.query_batch
+        out = []
+        for start in range(0, n, bs):
+            ids = token_ids[start : start + bs]
+            lens = lengths[start : start + bs]
+            pad = bs - ids.shape[0]
+            if pad:
+                ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]),
+                                                    ids.dtype)])
+                lens = np.concatenate([lens, np.ones(pad, lens.dtype)])
+            emb = self._encode_texts(
+                self.state, jnp.asarray(ids), jnp.asarray(lens)
+            )
+            out.append(emb[: bs - pad] if pad else emb)
+        return jnp.concatenate(out, axis=0)
+
+    def search(self, token_ids: np.ndarray, lengths: np.ndarray,
+               k: int = 10):
+        """Top-k gallery matches for tokenized text queries.
+
+        Returns (scores [Q,k], gallery metadata [Q,k])."""
+        assert self.gallery is not None, "call build_gallery first"
+        queries = self.encode_queries(token_ids, lengths)
+        n_real = len(self.gallery_meta)
+
+        if self.mesh is not None:
+            from .evaluation.retrieval import sharded_topk_retrieval
+
+            if self._augmented:
+                queries = jnp.concatenate(
+                    [queries, jnp.ones((queries.shape[0], 1), queries.dtype)],
+                    axis=1,
+                )
+            vals, idx = sharded_topk_retrieval(
+                self.mesh, queries, self.gallery, k=k,
+                use_pallas=self.use_pallas,
+            )
+            idx_np = np.asarray(idx)
+            vals = np.where(idx_np < n_real, np.asarray(vals), -np.inf)
+            idx_np = np.clip(idx_np, 0, n_real - 1)
+        elif self.use_pallas:
+            from .ops.ranking_pallas import topk_similarity_padded
+
+            vals, idx = topk_similarity_padded(queries, self.gallery, k=k)
+            vals, idx_np = np.asarray(vals), np.asarray(idx)
+        else:
+            sim = queries @ self.gallery.T
+            vals, idx = jax.lax.top_k(sim, k)
+            vals, idx_np = np.asarray(vals), np.asarray(idx)
+
+        return vals, self.gallery_meta[idx_np]
