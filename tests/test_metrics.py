@@ -168,3 +168,26 @@ class TestInferenceReplay:
         top1_b = inference(model, bad_state, fl, output_folder=out_dir,
                            save_data=True, rerank=True)
         assert top1_a == top1_b
+
+    def test_reference_format_npz_replay(self, tmp_path):
+        """A similarity matrix cached by the reference torch code (keys
+        image_pid/text_pid/similarity/rvn_mat/rtn_mat) scores directly."""
+        from textreid_tpu.engine.inference import inference
+
+        rng = np.random.RandomState(5)
+        q, g = 12, 8
+        sim = rng.randn(q, g).astype(np.float32)
+        text_pid = rng.randint(0, 4, q)
+        image_pid = rng.randint(0, 4, g)
+        np.savez(
+            tmp_path / "inference_data.npz",
+            image_pid=image_pid, text_pid=text_pid, similarity=sim,
+            rvn_mat=np.zeros((q, g), np.float32),
+            rtn_mat=np.zeros((g, q), np.float32),
+        )
+        top1 = inference(None, None, None, output_folder=str(tmp_path),
+                         rerank=True)
+        # oracle CMC@1
+        best = image_pid[np.argmax(sim, axis=1)]
+        want = 100.0 * np.mean(best == text_pid)
+        assert abs(top1 - want) < 1e-4

@@ -83,6 +83,10 @@ def inference(
     if cache and os.path.exists(cache):
         logger.info("Loading cached inference data from %s", cache)
         data = np.load(cache)
+        if "similarity" in data and "v_embed" not in data:
+            # Reference-format replay (evaluation.py:85-95): the torch code
+            # caches {image_pid, text_pid, similarity[, rvn_mat, rtn_mat]}.
+            return _evaluate_reference_npz(data, topk, rerank, logger)
         embeds = {k: data[k] for k in
                   ("v_embed", "t_embed", "pids", "image_ids")}
     else:
@@ -106,5 +110,36 @@ def inference(
         topk=topk,
         rerank=rerank,
     )
+    logger.info("\n%s", format_results_table(results))
+    return results["t2i"]["cmc"][0]
+
+
+def _evaluate_reference_npz(data, topk, rerank, logger) -> float:
+    """Score a similarity matrix cached by the reference torch code
+    (`lib/data/metrics/evaluation.py:126-142` save format)."""
+    import jax.numpy as jnp
+
+    from ..evaluation.metrics import rank
+
+    similarity = jnp.asarray(data["similarity"])
+    image_pid = jnp.asarray(data["image_pid"])
+    text_pid = jnp.asarray(data["text_pid"])
+
+    def pack(cmc, mean_ap):
+        return {"topk": list(topk), "cmc": [float(c) for c in cmc],
+                "mAP": float(mean_ap)}
+
+    results = {}
+    t2i = rank(similarity, text_pid, image_pid, topk)
+    i2t = rank(similarity.T, image_pid, text_pid, topk)
+    results["t2i"] = pack(t2i[0], t2i[1])
+    results["i2t"] = pack(i2t[0], i2t[1])
+    if rerank and "rvn_mat" in data:
+        re_t2i = rank(jnp.asarray(data["rvn_mat"]) + similarity,
+                      text_pid, image_pid, topk)
+        re_i2t = rank(jnp.asarray(data["rtn_mat"]) + similarity.T,
+                      image_pid, text_pid, topk)
+        results["re_t2i"] = pack(re_t2i[0], re_t2i[1])
+        results["re_i2t"] = pack(re_i2t[0], re_i2t[1])
     logger.info("\n%s", format_results_table(results))
     return results["t2i"]["cmc"][0]

@@ -152,6 +152,23 @@ def train(cfg, output_dir, resume_from, use_tensorboard):
         else:
             raise IOError(f"{cfg.MODEL.WEIGHT} is not a checkpoint file")
 
+    if resume_from == "auto":
+        # Latest epoch checkpoint in the output dir (preemption recovery).
+        import re
+
+        candidates = sorted(
+            (d for d in os.listdir(output_dir)
+             if re.fullmatch(r"epoch_\d+", d)
+             and os.path.isdir(os.path.join(output_dir, d))),
+            key=lambda d: int(d.split("_")[1]),
+        )
+        resume_from = (
+            os.path.join(output_dir, candidates[-1]) if candidates else None
+        )
+        if resume_from:
+            logger.info("Auto-resuming from %s", resume_from)
+        else:
+            logger.info("No prior checkpoint found; starting fresh")
     if resume_from:
         state, extra = checkpointer.resume(resume_from, state)
         arguments.update(extra)
