@@ -91,3 +91,39 @@ class TestTopKPallas:
         )
         v = np.asarray(vals)
         assert (np.diff(v, axis=1) <= 1e-6).all()
+
+
+class TestHybridVJP:
+    def test_gradients_match_xla_scan(self):
+        """The custom-VJP hybrid (Pallas fwd, XLA-scan bwd) must produce the
+        same gradients as differentiating the XLA scan directly."""
+        from textreid_tpu.ops.gru_pallas import (
+            _xla_scan_forward,
+            make_hybrid_scan,
+        )
+
+        rng = np.random.RandomState(3)
+        t, b, h = 5, 4, 8
+        xg = jnp.asarray(rng.randn(t, b, 3 * h).astype(np.float32) * 0.4)
+        wh = jnp.asarray(rng.randn(h, 3 * h).astype(np.float32) * 0.4)
+        h0 = jnp.asarray(rng.randn(b, h).astype(np.float32) * 0.2)
+        cot = jnp.asarray(rng.randn(t, b, h).astype(np.float32))
+
+        hybrid = make_hybrid_scan(interpret=True)
+
+        def loss_hybrid(xg, wh, h0):
+            return jnp.sum(hybrid(xg, wh, h0) * cot)
+
+        def loss_xla(xg, wh, h0):
+            return jnp.sum(_xla_scan_forward(xg, wh, h0) * cot)
+
+        g_hybrid = jax.grad(loss_hybrid, argnums=(0, 1, 2))(xg, wh, h0)
+        g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(xg, wh, h0)
+        for a, b_ in zip(g_hybrid, g_xla):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=1e-5)
+        # and the primal values agree too
+        np.testing.assert_allclose(
+            np.asarray(hybrid(xg, wh, h0)),
+            np.asarray(_xla_scan_forward(xg, wh, h0)), atol=1e-5,
+        )

@@ -110,8 +110,9 @@ class BiGRUEncoder(nn.Module):
     # clip_vocab_vit.npy).  Stored in the non-trainable "constants"
     # collection at init time.
     frozen_table_init: Optional[Callable[[], jnp.ndarray]] = None
-    # Fused Pallas scan kernel (ops/gru_pallas.py) for the serving path.
-    # Forward-only: training keeps the XLA scan whose VJP jax derives.
+    # Fused Pallas scan kernel (ops/gru_pallas.py): Pallas forward with a
+    # custom VJP that differentiates the bit-identical XLA scan, so it is
+    # usable in training and serving alike.
     use_pallas: bool = False
     # Inter-layer dropout (torch GRU semantics: between layers only,
     # 1 - DROPOUT_KEEP_PROB); no-op with a single layer.
@@ -214,8 +215,8 @@ def build_bigru(cfg, frozen_table_init=None,
                 use_pallas: bool = False) -> BiGRUEncoder:
     """Constructor mirroring the reference builder (gru.py:91-117).
 
-    ``use_pallas`` selects the fused forward-only scan kernel — enable it
-    only on eval/serving model instances (the kernel has no VJP)."""
+    ``use_pallas`` selects the fused Pallas scan (differentiable via its
+    custom VJP; TPU only)."""
     return BiGRUEncoder(
         hidden_dim=cfg.MODEL.GRU.NUM_UNITS,
         vocab_size=cfg.MODEL.GRU.VOCABULARY_SIZE,

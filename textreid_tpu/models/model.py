@@ -220,8 +220,8 @@ def build_model(cfg, frozen_table_init=None, dtype=jnp.float32,
                 use_pallas=False) -> TextReIDModel:
     """Mirrors reference model.py:44-45 / build_model(cfg).
 
-    ``use_pallas`` swaps in the forward-only fused Pallas scan for the text
-    tower — for eval/serving instances only (no VJP)."""
+    ``use_pallas`` swaps the text tower's recurrence onto the fused Pallas
+    scan kernel (TPU only; differentiable via its custom VJP)."""
     return TextReIDModel(
         visual=build_visual_model(cfg, dtype),
         textual=build_textual_model(cfg, frozen_table_init, use_pallas),

@@ -121,14 +121,59 @@ def gru_scan_pallas(
     return out
 
 
+def _xla_scan_forward(x_gates_tbg, w_h, h0):
+    """Reference XLA scan with the same [T, B, 3H] layout (used as the
+    mathematical definition for the custom VJP below)."""
+    hidden = h0.shape[-1]
+
+    def step(h, xg):
+        hg = jnp.dot(h, w_h, preferred_element_type=jnp.float32).astype(h.dtype)
+        r = jax.nn.sigmoid(xg[:, :hidden] + hg[:, :hidden])
+        z = jax.nn.sigmoid(xg[:, hidden : 2 * hidden] + hg[:, hidden : 2 * hidden])
+        n = jnp.tanh(xg[:, 2 * hidden :] + r * hg[:, 2 * hidden :])
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    _, ys = jax.lax.scan(step, h0, x_gates_tbg)
+    return ys
+
+
+def make_hybrid_scan(interpret: bool = False):
+    """Pallas forward; backward differentiates the (bit-identical) XLA scan.
+
+    The recompute-in-backward trade keeps the kernel forward-only (no
+    backward recurrence kernel needed) at the cost of one extra forward in
+    the bwd pass — cheap, since the GRU is <5% of a training step.
+    """
+
+    @jax.custom_vjp
+    def hybrid(x_gates_tbg, w_h, h0):
+        return gru_scan_pallas(x_gates_tbg, w_h, h0, interpret=interpret)
+
+    def fwd(x_gates_tbg, w_h, h0):
+        out = gru_scan_pallas(x_gates_tbg, w_h, h0, interpret=interpret)
+        return out, (x_gates_tbg, w_h, h0)
+
+    def bwd(residuals, g):
+        x_gates_tbg, w_h, h0 = residuals
+        _, vjp = jax.vjp(_xla_scan_forward, x_gates_tbg, w_h, h0)
+        return vjp(g)
+
+    hybrid.defvjp(fwd, bwd)
+    return hybrid
+
+
+gru_scan_hybrid = make_hybrid_scan(interpret=False)
+
+
 def gru_scan_auto(x_gates_btg: jax.Array, w_h: jax.Array, h0: jax.Array,
                   reverse: bool = False) -> jax.Array:
     """Drop-in for ``models.gru.gru_scan`` (batch-major [B, T, 3H] in/out)
-    using the Pallas kernel on TPU; callers guard availability."""
+    using the Pallas kernel on TPU, differentiable via the custom VJP."""
     xs = jnp.swapaxes(x_gates_btg, 0, 1)  # [T, B, 3H]
     if reverse:
         xs = xs[::-1]
-    ys = gru_scan_pallas(xs, w_h, h0)
+    ys = gru_scan_hybrid(xs, w_h, h0)
     if reverse:
         ys = ys[::-1]
     return jnp.swapaxes(ys, 0, 1)

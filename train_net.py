@@ -37,7 +37,9 @@ def build_everything(cfg, logger):
     data_loader_val = make_data_loader(cfg, is_train=False)
 
     dtype = jnp.bfloat16 if cfg.DTYPE == "bfloat16" else jnp.float32
-    model = build_model(cfg, frozen_table_initializer(cfg), dtype=dtype)
+    use_pallas = bool(cfg.TPU.USE_PALLAS) and jax.default_backend() == "tpu"
+    model = build_model(cfg, frozen_table_initializer(cfg), dtype=dtype,
+                        use_pallas=use_pallas)
 
     sample = next(iter(data_loader))
     sample.pop("valid", None)
