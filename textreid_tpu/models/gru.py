@@ -216,7 +216,9 @@ def build_bigru(cfg, frozen_table_init=None,
     """Constructor mirroring the reference builder (gru.py:91-117).
 
     ``use_pallas`` selects the fused Pallas scan (differentiable via its
-    custom VJP; TPU only)."""
+    custom VJP; TPU only).  Only enabled for lane-aligned hidden sizes
+    (H % 128 == 0) — unaligned tiny models fall back to the XLA scan."""
+    use_pallas = use_pallas and cfg.MODEL.GRU.NUM_UNITS % 128 == 0
     return BiGRUEncoder(
         hidden_dim=cfg.MODEL.GRU.NUM_UNITS,
         vocab_size=cfg.MODEL.GRU.VOCABULARY_SIZE,
