@@ -25,6 +25,31 @@ from .inference import inference
 from .steps import make_train_step
 
 
+def device_prefetch(iterator, mesh=None, depth: int = 2):
+    """Keep ``depth`` batches resident on device ahead of consumption.
+
+    XLA dispatch is async but ``device_put`` of host arrays is not free;
+    staging the next batch's transfer while the current step executes hides
+    host->device latency (the reference relies on DataLoader workers +
+    synchronous ``.to(device)``, trainer.py:78-79)."""
+    import collections
+
+    queue = collections.deque()
+
+    def put(batch):
+        batch.pop("valid", None)
+        if mesh is not None:
+            return shard_batch(batch, mesh)
+        return {k: jax.device_put(v) for k, v in batch.items()}
+
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) > depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 def do_train(
     cfg,
     model,
@@ -70,14 +95,11 @@ def do_train(
         arguments["epoch"] = epoch
 
         log_period = max(1, int(cfg.SOLVER.LOG_PERIOD))
-        for step, batch in enumerate(data_loader):
+        for step, batch in enumerate(device_prefetch(iter(data_loader), mesh)):
             data_time = time.time() - end
             iteration += 1
             arguments["iteration"] = iteration
 
-            batch.pop("valid", None)
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
             state, metrics = train_step(state, batch)
 
             batch_time = time.time() - end

@@ -55,9 +55,23 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
     Global batch size must divide the data-axis size (the reference asserts
     the same at build.py:73-88).
+
+    Multi-host: every process holds the same *global* batch (the loaders are
+    deterministic in (seed, epoch)), and each contributes only its
+    addressable shards via ``make_array_from_callback`` — the JAX-native
+    replacement for per-rank DistributedSampler slices
+    (reference build.py:45-46).
     """
     sharding = batch_sharding(mesh)
-    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        out[k] = jax.make_array_from_callback(
+            v.shape, sharding, lambda idx, v=v: v[idx]
+        )
+    return out
 
 
 def replicate_state(state, mesh: Mesh):
