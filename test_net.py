@@ -67,11 +67,12 @@ def main():
 
     sample = next(iter(data_loaders_val[0]))
     sample.pop("valid", None)
-    tx = make_optimizer(cfg, model.init(
+    init_fn = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), jnp.asarray(sample["pixels"]),
         jnp.asarray(sample["token_ids"]), jnp.asarray(sample["lengths"]),
         method="init_all",
-    )["params"])
+    ))
+    tx = make_optimizer(cfg, init_fn()["params"])
     state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), sample)
 
     checkpointer = Checkpointer(save_dir=output_dir)

@@ -48,13 +48,17 @@ def create_train_state(cfg, model, tx, rng, sample_batch) -> TrainState:
     ``sample_batch`` supplies shapes only; K %% global batch == 0 is enforced
     like the reference's enqueue assert (head.py:103).
     """
-    variables = model.init(
-        rng,
-        jnp.asarray(sample_batch["pixels"]),
-        jnp.asarray(sample_batch["token_ids"]),
-        jnp.asarray(sample_batch["lengths"]),
-        method="init_all",
-    )
+    # jitted init: unjitted flax init dispatches op-by-op on the device,
+    # which is pathologically slow on remote/relay TPU backends.
+    variables = jax.jit(
+        lambda: model.init(
+            rng,
+            jnp.asarray(sample_batch["pixels"]),
+            jnp.asarray(sample_batch["token_ids"]),
+            jnp.asarray(sample_batch["lengths"]),
+            method="init_all",
+        )
+    )()
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     constants = variables.get("constants", {})

@@ -73,10 +73,10 @@ def main():
     sample.pop("valid", None)
 
     model = build_model(cfg, frozen_table_initializer(cfg))
-    tx = make_optimizer(cfg, model.init(
+    tx = make_optimizer(cfg, jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), jnp.asarray(sample["pixels"]),
         jnp.asarray(sample["token_ids"]), jnp.asarray(sample["lengths"]),
-        method="init_all")["params"])
+        method="init_all"))()["params"])
     state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), sample)
 
     sd = load_torch_state_dict(args.checkpoint_file)

@@ -44,14 +44,15 @@ def build_everything(cfg, logger):
     sample = next(iter(data_loader))
     sample.pop("valid", None)
 
-    # init params to size the optimizer masks
-    variables = model.init(
+    # init params to size the optimizer masks (jitted: unjitted init runs
+    # op-by-op on the device and is pathologically slow on remote TPUs)
+    variables = jax.jit(lambda: model.init(
         jax.random.PRNGKey(cfg.SEED),
         jnp.asarray(sample["pixels"]),
         jnp.asarray(sample["token_ids"]),
         jnp.asarray(sample["lengths"]),
         method="init_all",
-    )
+    ))()
     trainable_mask = None
     if cfg.MODEL.FREEZE:
         # Freeze visual stem+layers1-3 and the whole text tower (reference
