@@ -35,6 +35,70 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def bench_train_step():
+    """Optional (`bench.py --train`): steady-state MoCo train-step timing at
+    the flagship config (compile is several minutes on remote TPU relays,
+    so this is not part of the default headline run)."""
+    import jax
+    import jax.numpy as jnp
+
+    from textreid_tpu.config import get_default_cfg
+    from textreid_tpu.engine import create_train_state, make_train_step
+    from textreid_tpu.models import build_model
+    from textreid_tpu.solver import make_optimizer
+    from textreid_tpu.solver.build import set_learning_rate
+
+    cfg = get_default_cfg()
+    cfg.MODEL.VISUAL_MODEL = "m_resnet50"
+    cfg.MODEL.TEXTUAL_MODEL = "bigru"
+    cfg.MODEL.GRU.ONEHOT = "clip_vit"
+    cfg.MODEL.GRU.VOCABULARY_SIZE = 512
+    cfg.MODEL.RESNET.RES5_STRIDE = 1
+    cfg.MODEL.EMBEDDING.EMBED_HEAD = "moco"
+    cfg.MODEL.EMBEDDING.FEATURE_SIZE = 256
+    cfg.MODEL.MOCO.FC = False
+    cfg.MODEL.MOCO.K = 2048
+    cfg.INPUT.HEIGHT, cfg.INPUT.WIDTH = 384, 128
+
+    model = build_model(cfg, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    batch = {
+        "pixels": rng.randint(0, 255, (BATCH, 384, 128, 3), dtype=np.uint8),
+        "erase": np.zeros((BATCH, 5), np.int32),
+        "token_ids": rng.randint(1, 512, (BATCH, TOKENS)).astype(np.int32),
+        "lengths": rng.randint(10, TOKENS, (BATCH,)).astype(np.int32),
+        "pids": rng.randint(0, 11003, (BATCH,)).astype(np.int32),
+    }
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.asarray(batch["pixels"]),
+        jnp.asarray(batch["token_ids"]), jnp.asarray(batch["lengths"]),
+        method="init_all"))()
+    jax.block_until_ready(variables)
+    tx = make_optimizer(cfg, variables["params"])
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batch)
+    state = state.replace(opt_state=set_learning_rate(state.opt_state, 1e-4))
+    step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=(0,))
+    db = {k: jax.device_put(v) for k, v in batch.items()}
+
+    t0 = time.time()
+    state, m = step(state, db)
+    float(m["loss"])
+    log(f"train-step compile: {time.time() - t0:.1f}s")
+    n = 10
+    t0 = time.time()
+    for _ in range(n):
+        state, m = step(state, db)
+    float(m["loss"])
+    dt = time.time() - t0
+    log(f"train step: {dt / n * 1000:.0f} ms ({n * BATCH / dt:.0f} img/s)")
+    print(json.dumps({
+        "metric": "moco_train_step_ms_bs128",
+        "value": round(dt / n * 1000, 2),
+        "unit": "ms",
+        "vs_baseline": None,
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -157,4 +221,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv:
+        bench_train_step()
+    else:
+        main()

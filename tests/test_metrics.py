@@ -191,3 +191,58 @@ class TestInferenceReplay:
         best = image_pid[np.argmax(sim, axis=1)]
         want = 100.0 * np.mean(best == text_pid)
         assert abs(top1 - want) < 1e-4
+
+    def test_our_cache_is_reference_readable(self, tmp_path):
+        """The cache we write carries the reference npz keys alongside our
+        embeddings, so the torch code's --load-result can replay it."""
+        data = np.load(tmp_path / "noop.npz") if False else None
+        # Reuse the first replay test's setup via a fresh run
+        import jax
+        import jax.numpy as jnp
+
+        from textreid_tpu.engine.inference import inference
+        from textreid_tpu.engine.state import TrainState
+        from textreid_tpu.models import BiGRUEncoder, TextReIDModel
+        from textreid_tpu.models.m_resnet import ModifiedResNet
+
+        rng = np.random.RandomState(7)
+        n = 4
+        model = TextReIDModel(
+            visual=ModifiedResNet(layers=(1, 1, 1, 1), output_dim=8, heads=4,
+                                  last_stride=1, input_resolution=(32, 16),
+                                  width=16),
+            textual=BiGRUEncoder(hidden_dim=4, vocab_size=20, embed_size=4),
+            feature_size=8, num_classes=4,
+        )
+        batch = {
+            "pixels": rng.randint(0, 255, (n, 32, 16, 3), dtype=np.uint8),
+            "erase": np.zeros((n, 5), np.int32),
+            "token_ids": rng.randint(1, 20, (n, 6)).astype(np.int32),
+            "lengths": rng.randint(2, 6, (n,)).astype(np.int32),
+            "pids": np.array([0, 0, 1, 1], np.int32),
+            "image_ids": np.arange(n, dtype=np.int32),
+            "index": np.arange(n, dtype=np.int32),
+            "valid": np.ones(n, bool),
+        }
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(batch["pixels"]),
+            jnp.asarray(batch["token_ids"]), jnp.asarray(batch["lengths"]),
+            method="init_all",
+        )
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            constants=variables.get("constants", {}), opt_state=None,
+        )
+
+        class FakeLoader(list):
+            dataset = list(range(n))
+
+        inference(model, state, FakeLoader([dict(batch)]),
+                  output_folder=str(tmp_path), save_data=True, rerank=True)
+        saved = np.load(tmp_path / "inference_data.npz")
+        for key in ("v_embed", "t_embed", "pids", "image_ids",  # ours
+                    "image_pid", "text_pid", "similarity",       # reference
+                    "rvn_mat", "rtn_mat"):
+            assert key in saved, key
+        assert saved["similarity"].shape == (n, n)

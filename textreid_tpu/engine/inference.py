@@ -98,8 +98,8 @@ def inference(
         logger.info(
             "Total inference time: %.2fs (%.4f s/sample)", total, total / n
         )
-        if cache and save_data and jax.process_index() == 0:
-            np.savez(cache, **embeds)
+        # Saved after evaluation() below so the cache carries both our
+        # embedding format and the reference's similarity-matrix format.
 
     results = evaluation(
         embeds["v_embed"],
@@ -110,6 +110,20 @@ def inference(
         topk=topk,
         rerank=rerank,
     )
+    if cache and save_data and not os.path.exists(cache) and (
+        jax.process_index() == 0
+    ):
+        # Dual-format cache: our embeddings (replayable here) plus the
+        # reference's {image_pid, text_pid, similarity[, rvn/rtn_mat]}
+        # (replayable by the torch code's --load-result,
+        # evaluation.py:126-142).
+        extra = {
+            k: results[k]
+            for k in ("image_pid", "text_pid", "similarity", "rvn_mat",
+                      "rtn_mat")
+            if k in results
+        }
+        np.savez(cache, **embeds, **extra)
     logger.info("\n%s", format_results_table(results))
     return results["t2i"]["cmc"][0]
 

@@ -69,7 +69,9 @@ def rank(
 
 
 def _topk_onehot(sim: Array, k: int) -> Array:
-    """[N, M] similarity -> [N, M] float indicator of each row's top-k columns."""
+    """[N, M] similarity -> [N, M] float indicator of each row's top-k
+    columns (k clamped to M, matching torch's tolerant argsort slicing)."""
+    k = min(k, sim.shape[1])
     _, idx = jax.lax.top_k(sim, k)  # [N, k]
     return jnp.zeros_like(sim).at[jnp.arange(sim.shape[0])[:, None], idx].set(1.0)
 
@@ -90,11 +92,13 @@ def k_reciprocal(
     qg_sim = q_feats @ g_feats.T  # [Q, G]
     gg_sim = g_feats @ g_feats.T  # [G, G]
 
-    a = _topk_onehot(qg_sim, neighbor_num)  # [Q, G]
-    b = _topk_onehot(gg_sim, neighbor_num)  # [G, G]
+    # Neighbor lists are sets of exactly min(n, G) distinct indices.
+    n_eff = min(neighbor_num, g_feats.shape[0])
+    a = _topk_onehot(qg_sim, n_eff)  # [Q, G]
+    b = _topk_onehot(gg_sim, n_eff)  # [G, G]
 
     intersection = a @ b.T  # [Q, G]
-    union = 2.0 * neighbor_num - intersection
+    union = 2.0 * n_eff - intersection
     return alpha * intersection / union
 
 
@@ -169,6 +173,13 @@ def evaluation(
         results["re_i2t"] = pack(re_i2t_cmc, re_i2t_map)
 
     results["similarity"] = np.asarray(similarity)
+    # Deduped-gallery pids, exported so callers can write reference-format
+    # replay files (evaluation.py:126-142 keys).
+    results["image_pid"] = np.asarray(image_pids_kept)
+    results["text_pid"] = np.asarray(text_pids)
+    if rerank:
+        results["rvn_mat"] = np.asarray(rvn)
+        results["rtn_mat"] = np.asarray(rtn)
     return results
 
 
