@@ -257,3 +257,35 @@ class TestEncodeStep:
         state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batch)
         v, t = encode_step(model, state, batch)
         assert v.shape == (8, 32) and t.shape == (8, 32)
+
+
+class TestRemat:
+    def test_remat_step_matches_plain(self, synth_root):
+        """TPU.REMAT recomputes the visual forward in backward; losses and
+        updated params must be identical (SGD for linear-in-grad compare)."""
+        cfg = tiny_cfg(synth_root)
+        cfg.SOLVER.OPTIMIZER = "SGD"
+        model = small_model(cfg)
+        loader = make_data_loader(cfg, is_train=True)
+        batch = next(iter(loader))
+        batch.pop("valid")
+        tx = make_optimizer_for(cfg, model, batch)
+        state0 = create_train_state(cfg, model, tx, jax.random.PRNGKey(0),
+                                    batch)
+        state0 = state0.replace(
+            opt_state=set_learning_rate(state0.opt_state, 1e-3))
+
+        cfg_remat = tiny_cfg(synth_root)
+        cfg_remat.SOLVER.OPTIMIZER = "SGD"
+        cfg_remat.TPU.REMAT = True
+
+        s_plain, m_plain = jax.jit(make_train_step(model, tx, cfg))(
+            state0, batch)
+        s_remat, m_remat = jax.jit(make_train_step(model, tx, cfg_remat))(
+            state0, batch)
+        np.testing.assert_allclose(
+            float(m_plain["loss"]), float(m_remat["loss"]), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(s_plain.params),
+                        jax.tree.leaves(s_remat.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)

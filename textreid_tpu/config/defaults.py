@@ -148,6 +148,10 @@ _C.TPU.USE_PALLAS = True
 _C.TPU.DEVICE_PREP = True
 # Donate train-state buffers to the jitted step (saves HBM).
 _C.TPU.DONATE_STATE = True
+# Rematerialize the query image-encoder forward in the backward pass
+# (jax.checkpoint): trades ~1 extra forward for dropping its activation
+# memory — enables much larger batches per chip.
+_C.TPU.REMAT = False
 
 _C.SEED = 0
 

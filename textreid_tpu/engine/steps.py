@@ -32,6 +32,22 @@ from ..models import losses
 from .state import TrainState
 
 
+def _encode_image_train(model, params, batch_stats, constants, pixels,
+                        erase, remat=False):
+    """Query image-tower forward in train mode, optionally rematerialized
+    (``TPU.REMAT``): jax.checkpoint drops the tower's activations after the
+    forward and recomputes them in the backward — ~1 extra forward for a
+    large HBM saving at big batches."""
+
+    def f(params, pixels):
+        return _apply(model, params, batch_stats, constants, "encode_image",
+                      pixels, train=True, erase=erase)
+
+    if remat:
+        f = jax.checkpoint(f)
+    return f(params, pixels)
+
+
 def _apply(model, params, batch_stats, constants, method, *args, train=False,
            **kwargs):
     variables = {"params": params, "batch_stats": batch_stats,
@@ -60,15 +76,14 @@ def encode_step(model, state: TrainState, batch) -> Tuple[jnp.ndarray, jnp.ndarr
 # Simple head
 # ---------------------------------------------------------------------------
 
-def simple_train_step(model, tx, epsilon: float):
+def simple_train_step(model, tx, epsilon: float, remat: bool = False):
     """Build the jittable train step for the simple embedding head
     (simple_head/head.py:33-47 + loss.py:22-45)."""
 
     def loss_fn(params, state, batch):
-        v_feat, new_bs = _apply(
+        v_feat, new_bs = _encode_image_train(
             model, params, state.batch_stats, state.constants,
-            "encode_image", batch["pixels"], train=True,
-            erase=batch.get("erase"),
+            batch["pixels"], batch.get("erase"), remat,
         )
         t_feat = model.apply(
             {"params": params, "batch_stats": state.batch_stats,
@@ -120,6 +135,7 @@ def moco_train_step(model, tx, cfg):
     momentum = cfg.MODEL.MOCO.M
     use_fc = cfg.MODEL.MOCO.FC
     epsilon = cfg.MODEL.EMBEDDING.EPSILON
+    remat = bool(cfg.TPU.REMAT)
     temperature = 0.07  # moco_head/loss.py:18
 
     def key_forward(key_params, key_bs, params, constants, batch):
@@ -156,10 +172,9 @@ def moco_train_step(model, tx, cfg):
         )
 
     def loss_fn(params, state, batch, v_k, t_k):
-        v_feat, new_bs = _apply(
+        v_feat, new_bs = _encode_image_train(
             model, params, state.batch_stats, state.constants,
-            "encode_image", batch["pixels"], train=True,
-            erase=batch.get("erase"),
+            batch["pixels"], batch.get("erase"), remat,
         )
         t_feat = model.apply(
             {"params": params, "batch_stats": state.batch_stats,
@@ -263,4 +278,5 @@ def moco_train_step(model, tx, cfg):
 def make_train_step(model, tx, cfg):
     if cfg.MODEL.EMBEDDING.EMBED_HEAD == "moco":
         return moco_train_step(model, tx, cfg)
-    return simple_train_step(model, tx, cfg.MODEL.EMBEDDING.EPSILON)
+    return simple_train_step(model, tx, cfg.MODEL.EMBEDDING.EPSILON,
+                             bool(cfg.TPU.REMAT))
