@@ -203,3 +203,27 @@ class TestDevicePrepEquivalence:
         np.testing.assert_allclose(
             np.asarray(prepped), host_batch["pixels"], atol=1e-5
         )
+
+
+class TestLoaderDeterminism:
+    def test_batches_identical_across_worker_counts(self, synth_root):
+        """Augmentation is derived from (seed, epoch, position) — thread
+        scheduling and worker count must not change the stream."""
+        batches = []
+        for workers in (1, 4):
+            cfg = _cfg(synth_root)
+            cfg.DATALOADER.NUM_WORKERS = workers
+            loader = make_data_loader(cfg, is_train=True)
+            batches.append(list(loader))
+        assert len(batches[0]) == len(batches[1])
+        for a, b in zip(*batches):
+            for key in a:
+                np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+
+    def test_epoch_replay_is_identical(self, synth_root):
+        cfg = _cfg(synth_root)
+        l1 = make_data_loader(cfg, is_train=True)
+        l2 = make_data_loader(cfg, is_train=True)
+        for a, b in zip(l1, l2):
+            np.testing.assert_array_equal(a["pixels"], b["pixels"])
+            np.testing.assert_array_equal(a["erase"], b["erase"])

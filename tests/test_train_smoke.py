@@ -289,3 +289,35 @@ class TestRemat:
                         jax.tree.leaves(s_remat.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6)
+
+
+class TestLearning:
+    def test_loss_decreases_over_training(self, synth_root):
+        """End-to-end learning sanity: 30 MoCo steps on the synthetic set
+        must substantially reduce the loss (gradients flow through both
+        towers, the projectors, and the queue machinery)."""
+        cfg = tiny_cfg(synth_root)
+        cfg.MODEL.MOCO.K = 8
+        cfg.SOLVER.BASE_LR = 3e-4
+        model = small_model(cfg)
+        loader = make_data_loader(cfg, is_train=True)
+        batch0 = next(iter(loader))
+        batch0.pop("valid")
+        tx = make_optimizer_for(cfg, model, batch0)
+        state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0),
+                                   batch0)
+        state = state.replace(
+            opt_state=set_learning_rate(state.opt_state, 3e-4))
+        step_fn = jax.jit(make_train_step(model, tx, cfg))
+
+        losses = []
+        for epoch in range(8):
+            loader.set_epoch(epoch)
+            for batch in loader:
+                batch.pop("valid")
+                state, m = step_fn(state, batch)
+                losses.append(float(m["loss"]))
+        first = np.mean(losses[:4])
+        last = np.mean(losses[-4:])
+        assert last < first * 0.8, (first, last)
+        assert np.isfinite(losses).all()

@@ -9,3 +9,5 @@ MoCo embedding heads on CUHK-PEDES.
 __version__ = "0.1.0"
 
 from .config import DatasetCatalog, get_default_cfg  # noqa: F401
+
+__all__ = ["DatasetCatalog", "get_default_cfg"]
