@@ -60,7 +60,9 @@ def main():
 
     data_loaders_val = make_data_loader(cfg, is_train=False)
 
-    dtype = jnp.bfloat16 if cfg.DTYPE == "bfloat16" else jnp.float32
+    from textreid_tpu.utils.platform import compute_dtype
+
+    dtype = compute_dtype(cfg)
     use_pallas = bool(cfg.TPU.USE_PALLAS) and jax.default_backend() == "tpu"
     model = build_model(cfg, frozen_table_initializer(cfg), dtype=dtype,
                         use_pallas=use_pallas)

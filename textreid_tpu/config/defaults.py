@@ -152,6 +152,9 @@ _C.TPU.DONATE_STATE = True
 # (jax.checkpoint): trades ~1 extra forward for dropping its activation
 # memory — enables much larger batches per chip.
 _C.TPU.REMAT = False
+# Raise on non-finite training losses at every log boundary (the jit-pure
+# analogue of torch anomaly detection; SURVEY 5.2).
+_C.TPU.DEBUG_NANS = False
 
 _C.SEED = 0
 

@@ -50,6 +50,10 @@ def device_prefetch(iterator, mesh=None, depth: int = 2):
         yield queue.popleft()
 
 
+def _isfinite(v: float) -> bool:
+    return v == v and v not in (float("inf"), float("-inf"))
+
+
 def do_train(
     cfg,
     model,
@@ -109,7 +113,16 @@ def do_train(
             if step % log_period == 0 or step == steps_per_epoch - 1:
                 # Fetching metrics syncs with the device; do it only at log
                 # boundaries so steps in between stay fully async.
-                meters.update(**{k: float(v) for k, v in metrics.items()})
+                host_metrics = {k: float(v) for k, v in metrics.items()}
+                if cfg.TPU.DEBUG_NANS:
+                    bad = [k for k, v in host_metrics.items()
+                           if not _isfinite(v)]
+                    if bad:
+                        raise FloatingPointError(
+                            f"Non-finite training metrics at iteration "
+                            f"{iteration}: {bad}"
+                        )
+                meters.update(**host_metrics)
                 eta_seconds = meters.time.global_avg * (max_iter - iteration)
                 eta = datetime.timedelta(seconds=int(eta_seconds))
                 logger.info(

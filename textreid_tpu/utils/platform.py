@@ -19,3 +19,13 @@ def ensure_platform() -> None:
             jax.config.update("jax_platforms", requested)
         except Exception:
             pass
+
+
+def compute_dtype(cfg):
+    """bf16 on TPU by default (TPU.COMPUTE_DTYPE), cfg.DTYPE elsewhere."""
+    import jax
+    import jax.numpy as jnp
+
+    name = (cfg.TPU.COMPUTE_DTYPE if jax.default_backend() == "tpu"
+            else cfg.DTYPE)
+    return jnp.bfloat16 if name == "bfloat16" else jnp.float32
