@@ -90,3 +90,33 @@ class TestRetrievalIndex:
         s2, m2 = sharded.search(token_ids, lengths, k=3)
         np.testing.assert_allclose(s1, s2, atol=1e-5)
         np.testing.assert_array_equal(m1, m2)
+
+
+class TestQuantizedGallery:
+    def test_roundtrip_error_small(self):
+        from textreid_tpu.ops.quant import dequantize_rows, quantize_rows
+
+        rng = np.random.RandomState(0)
+        e = rng.randn(20, 16).astype(np.float32)
+        e /= np.linalg.norm(e, axis=1, keepdims=True)
+        q = quantize_rows(jnp.asarray(e))
+        back = np.asarray(dequantize_rows(q))
+        assert q.values.dtype == jnp.int8
+        np.testing.assert_allclose(back, e, atol=1.5 / 127)
+
+    def test_quantized_search_preserves_topk(self, model_and_state):
+        """int8 gallery must agree with float search on well-separated
+        galleries (rank-1 identical, scores within quantization error)."""
+        model, state = model_and_state
+        plain = RetrievalIndex(model, state, use_pallas=False)
+        quant = RetrievalIndex(model, state, use_pallas=False, quantize=True)
+        g = _gallery_batches(n=10)
+        plain.build_gallery(g)
+        quant.build_gallery(g)
+        rng = np.random.RandomState(6)
+        token_ids = rng.randint(1, 30, (6, 8)).astype(np.int32)
+        lengths = np.full(6, 8, np.int32)
+        s1, m1 = plain.search(token_ids, lengths, k=3)
+        s2, m2 = quant.search(token_ids, lengths, k=3)
+        np.testing.assert_array_equal(m1[:, 0], m2[:, 0])  # rank-1 agrees
+        np.testing.assert_allclose(s1, s2, atol=0.05)

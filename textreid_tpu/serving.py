@@ -33,6 +33,7 @@ class RetrievalIndex:
         query_batch: int = 64,
         mesh=None,
         use_pallas: Optional[bool] = None,
+        quantize: bool = False,
     ):
         self.model = model
         self.state = state
@@ -41,6 +42,9 @@ class RetrievalIndex:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        # int8 gallery (ops/quant.py): 4x less HBM, int8 MXU scoring.
+        # Single-device only (sharded galleries stay float for now).
+        self.quantize = quantize and mesh is None
         self.gallery: Optional[jax.Array] = None  # [G, D] normalized
         self.gallery_meta: Optional[np.ndarray] = None
 
@@ -83,6 +87,10 @@ class RetrievalIndex:
             np.asarray(meta) if meta is not None
             else np.arange(self.gallery.shape[0])
         )
+        if self.quantize:
+            from .ops.quant import quantize_rows
+
+            self._quant_gallery = quantize_rows(self.gallery)
         self._augmented = False
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -154,6 +162,11 @@ class RetrievalIndex:
             idx_np = np.asarray(idx)
             vals = np.where(idx_np < n_real, np.asarray(vals), -np.inf)
             idx_np = np.clip(idx_np, 0, n_real - 1)
+        elif self.quantize:
+            from .ops.quant import quantized_topk
+
+            vals, idx = quantized_topk(queries, self._quant_gallery, k)
+            vals, idx_np = np.asarray(vals), np.asarray(idx)
         elif self.use_pallas:
             from .ops.ranking_pallas import topk_similarity_padded
 
