@@ -37,11 +37,24 @@ def compute_embeddings(model, state: TrainState, data_loader, mesh=None):
     def _encode(state, batch):
         return encode_step(model, state, batch)
 
+    def staged():
+        # One batch staged on device ahead of the one being encoded.
+        pending = None
+        for batch in data_loader:
+            valid = batch.pop("valid")
+            device_batch = (
+                shard_batch(batch, mesh) if mesh is not None
+                else {k: jax.device_put(v) for k, v in batch.items()}
+            )
+            if pending is not None:
+                yield pending
+            pending = (batch, valid, device_batch)
+        if pending is not None:
+            yield pending
+
     v_chunks, t_chunks, idx_chunks = [], [], []
     pid_chunks, img_chunks = [], []
-    for batch in data_loader:
-        valid = batch.pop("valid")
-        device_batch = shard_batch(batch, mesh) if mesh is not None else batch
+    for batch, valid, device_batch in staged():
         v, t = _encode(state, device_batch)
         v = np.asarray(v)[valid]
         t = np.asarray(t)[valid]
