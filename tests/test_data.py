@@ -227,3 +227,40 @@ class TestLoaderDeterminism:
         for a, b in zip(l1, l2):
             np.testing.assert_array_equal(a["pixels"], b["pixels"])
             np.testing.assert_array_equal(a["erase"], b["erase"])
+
+
+class TestCrossDataset:
+    def test_concat_training_and_icfg_eval(self, synth_root, tmp_path_factory):
+        """BASELINE config 'ICFG-PEDES dataloader + cross-dataset
+        train/eval': concatenated CUHK+ICFG training set (ConcatDataset
+        path) and ICFG eval loader."""
+        root = tmp_path_factory.mktemp("cross")
+        for name, ids in (("cuhkpedes", 6), ("icfgpedes", 4)):
+            ds = root / "datasets" / name
+            make_synthetic_dataset(str(ds), num_identities=ids,
+                                   images_per_id=2, split="train",
+                                   seed=ids)
+            make_synthetic_dataset(str(ds), num_identities=2,
+                                   images_per_id=2, split="test",
+                                   seed=ids + 1)
+
+        cfg = _cfg(str(root))
+        cfg.DATASETS.TRAIN = ("cuhkpedes_train", "icfgpedes_train")
+        cfg.DATASETS.TEST = ("icfgpedes_test",)
+        cfg.DATALOADER.IMS_PER_ID = 2
+        cfg.SOLVER.IMS_PER_BATCH = 4
+
+        loader = make_data_loader(cfg, is_train=True)
+        n_cuhk, n_icfg = 12, 8
+        assert len(loader.dataset) == n_cuhk + n_icfg
+        # indices from both halves appear over an epoch
+        seen = np.concatenate([b["index"] for b in loader])
+        assert (seen < n_cuhk).any() and (seen >= n_cuhk).any()
+        # get_id_info passthrough across the concat boundary
+        image_id, pid = loader.dataset.get_id_info(n_cuhk)  # first ICFG row
+        assert pid == 0 and image_id == 0
+
+        eval_loaders = make_data_loader(cfg, is_train=False)
+        assert len(eval_loaders) == 1
+        batch = next(iter(eval_loaders[0]))
+        assert batch["pixels"].shape[0] == cfg.TEST.IMS_PER_BATCH
