@@ -159,3 +159,50 @@ class TestOptimizerTorchParity:
         updates, _ = tx.update(grads, state, params)
         assert np.abs(np.asarray(updates["a"])).max() > 0
         np.testing.assert_array_equal(np.asarray(updates["b"]), 0.0)
+
+
+class TestFreezeMask:
+    def test_freezes_stem_early_layers_and_text_tower(self):
+        from textreid_tpu.solver import freeze_mask
+
+        params = {
+            "visual": {
+                "conv1": {"kernel": jnp.ones(1)},
+                "bn2": {"scale": jnp.ones(1)},
+                "layer1_0": {"conv1": {"kernel": jnp.ones(1)}},
+                "layer3_5": {"bn1": {"bias": jnp.ones(1)}},
+                "layer4_0": {"conv1": {"kernel": jnp.ones(1)}},
+                "attnpool": {"q_proj": {"kernel": jnp.ones(1)}},
+            },
+            "textual": {"fwd_w_ih_l0": jnp.ones(1)},
+            "v_embed_layer": {"kernel": jnp.ones(1)},
+            "projection": jnp.ones(1),
+        }
+        m = freeze_mask(params)
+        assert m["visual"]["conv1"]["kernel"] is False
+        assert m["visual"]["bn2"]["scale"] is False
+        assert m["visual"]["layer1_0"]["conv1"]["kernel"] is False
+        assert m["visual"]["layer3_5"]["bn1"]["bias"] is False
+        assert m["visual"]["layer4_0"]["conv1"]["kernel"] is True  # res5 trains
+        assert m["visual"]["attnpool"]["q_proj"]["kernel"] is True
+        assert m["textual"]["fwd_w_ih_l0"] is False
+        assert m["v_embed_layer"]["kernel"] is True
+        assert m["projection"] is True
+
+    def test_freeze_zeroes_updates_through_optimizer(self):
+        from textreid_tpu.solver import freeze_mask
+
+        params = {
+            "visual": {"conv1": {"kernel": jnp.ones(3)},
+                       "layer4_0": {"kernel": jnp.ones(3)}},
+            "textual": {"w": jnp.ones(3)},
+        }
+        cfg = _cfg(OPTIMIZER="Adam", BASE_LR=0.1, WEIGHT_DECAY=0.0)
+        tx = make_optimizer(cfg, params, freeze_mask(params))
+        state = set_learning_rate(tx.init(params), 0.1)
+        grads = jax.tree.map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, state, params)
+        np.testing.assert_array_equal(
+            np.asarray(updates["visual"]["conv1"]["kernel"]), 0.0)
+        np.testing.assert_array_equal(np.asarray(updates["textual"]["w"]), 0.0)
+        assert np.abs(np.asarray(updates["visual"]["layer4_0"]["kernel"])).max() > 0

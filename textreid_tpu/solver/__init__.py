@@ -1,3 +1,3 @@
-from .build import bias_mask, make_lr_schedule, make_optimizer
+from .build import bias_mask, freeze_mask, make_lr_schedule, make_optimizer
 
-__all__ = ["make_optimizer", "make_lr_schedule", "bias_mask"]
+__all__ = ["make_optimizer", "make_lr_schedule", "bias_mask", "freeze_mask"]

@@ -87,6 +87,29 @@ def bias_mask(params) -> dict:
     return jax.tree_util.tree_unflatten(treedef, [is_bias(p) for p, _ in flat])
 
 
+def freeze_mask(params) -> dict:
+    """Trainable-mask pytree implementing ``cfg.MODEL.FREEZE``: the visual
+    stem + layers 1-3 and the whole text tower stop updating (reference
+    resnet.py:229-233 freezes stem+layers1-3; gru.py:111-115 freezes the
+    text tower).  True = trainable."""
+    frozen_visual_prefixes = ("conv1", "bn1", "conv2", "bn2", "conv3", "bn3",
+                              "layer1", "layer2", "layer3")
+
+    def mask(tree, path=()):
+        if not isinstance(tree, dict):
+            top = path[0] if path else ""
+            if top == "textual":
+                return False
+            if top == "visual" and len(path) > 1 and any(
+                path[1].startswith(p) for p in frozen_visual_prefixes
+            ):
+                return False
+            return True
+        return {k: mask(v, path + (k,)) for k, v in tree.items()}
+
+    return mask(params)
+
+
 def make_optimizer(cfg, params, trainable_mask=None) -> optax.GradientTransformation:
     """Build the optimizer.  The learning rate is injected per-step via
     ``optax.inject_hyperparams``-style scaling: the trainer passes the

@@ -57,24 +57,9 @@ def build_everything(cfg, logger):
     ))()
     trainable_mask = None
     if cfg.MODEL.FREEZE:
-        # Freeze visual stem+layers1-3 and the whole text tower (reference
-        # resnet.py:229-233 / gru.py:111-115 semantics) via zeroed updates.
-        frozen_prefixes = ("conv1", "bn1", "conv2", "bn2", "conv3", "bn3",
-                           "layer1", "layer2", "layer3")
+        from textreid_tpu.solver.build import freeze_mask
 
-        def mask_tree(tree, path=()):
-            if not isinstance(tree, dict):
-                top = path[0] if path else ""
-                if top == "textual":
-                    return False
-                if top == "visual" and len(path) > 1 and any(
-                    path[1].startswith(p) for p in frozen_prefixes
-                ):
-                    return False
-                return True
-            return {k: mask_tree(v, path + (k,)) for k, v in tree.items()}
-
-        trainable_mask = mask_tree(variables["params"])
+        trainable_mask = freeze_mask(variables["params"])
 
     tx = make_optimizer(cfg, variables["params"], trainable_mask)
     state = create_train_state(cfg, model, tx, jax.random.PRNGKey(cfg.SEED),
