@@ -76,7 +76,7 @@ def run_cli(script, args, cwd):
     env["TEXTREID_FORCE_CPU"] = "1"
     result = subprocess.run(
         [sys.executable, os.path.join(REPO, script), *args],
-        cwd=str(cwd), env=env, capture_output=True, text=True, timeout=900,
+        cwd=str(cwd), env=env, capture_output=True, text=True, timeout=1800,
     )
     assert result.returncode == 0, (
         f"{script} failed\nSTDOUT:\n{result.stdout[-4000:]}\n"
