@@ -264,3 +264,19 @@ class TestCrossDataset:
         assert len(eval_loaders) == 1
         batch = next(iter(eval_loaders[0]))
         assert batch["pixels"].shape[0] == cfg.TEST.IMS_PER_BATCH
+
+
+class TestImageCache:
+    def test_cache_serves_identical_samples(self, synth_root):
+        cfg = _cfg(synth_root)
+        cfg.DATALOADER.CACHE_IMAGES = True
+        cached = make_data_loader(cfg, is_train=True)
+        cfg2 = _cfg(synth_root)
+        plain = make_data_loader(cfg2, is_train=True)
+        for a, b in zip(cached, plain):
+            np.testing.assert_array_equal(a["pixels"], b["pixels"])
+        # second epoch hits the cache
+        ds = cached.dataset
+        assert ds._img_cache is not None and len(ds._img_cache) > 0
+        for a in cached:
+            pass

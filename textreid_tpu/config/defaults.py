@@ -26,6 +26,9 @@ _C.DATALOADER = CN()
 _C.DATALOADER.NUM_WORKERS = 4
 _C.DATALOADER.IMS_PER_ID = 4
 _C.DATALOADER.EN_SAMPLER = True
+# Cache decoded images in host RAM across epochs (skips JPEG decode; ~5 GB
+# for full CUHK-PEDES at 384x128). Worth enabling on decode-bound hosts.
+_C.DATALOADER.CACHE_IMAGES = False
 
 # ---------------------------------------------------------------------------
 # Input (reference defaults.py:28-34)

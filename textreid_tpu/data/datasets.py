@@ -29,6 +29,7 @@ class CUHKPEDESDataset:
         max_length: int = 105,
         transforms=None,
         tokenizer=None,
+        cache_images: bool = False,
     ):
         self.root = root
         self.use_onehot = use_onehot
@@ -36,6 +37,10 @@ class CUHKPEDESDataset:
         self.transforms = transforms
         self.tokenizer = tokenizer
         self.img_dir = os.path.join(root, "imgs")
+        # optional decoded-image cache (DATALOADER.CACHE_IMAGES): index ->
+        # full-size uint8 array, filled lazily, shared across epochs
+        self.cache_images = cache_images
+        self._img_cache = {} if cache_images else None
 
         with open(ann_file, "r") as f:
             dataset = json.load(f)
@@ -68,9 +73,14 @@ class CUHKPEDESDataset:
         """Load one sample; ``rng`` makes augmentation deterministic per
         (seed, epoch, position) regardless of worker-thread scheduling."""
         record = self.dataset[index]
-        img = Image.open(os.path.join(self.img_dir, record["file_path"])).convert(
-            "RGB"
-        )
+        if self._img_cache is not None and index in self._img_cache:
+            img = Image.fromarray(self._img_cache[index])
+        else:
+            img = Image.open(
+                os.path.join(self.img_dir, record["file_path"])
+            ).convert("RGB")
+            if self._img_cache is not None:
+                self._img_cache[index] = np.asarray(img, dtype=np.uint8)
         erase = np.zeros(5, dtype=np.int32)
         if self.transforms is not None:
             img, erase = self.transforms(img, rng)

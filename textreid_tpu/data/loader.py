@@ -159,6 +159,7 @@ def build_dataset(cfg, dataset_names, transforms, is_train: bool):
                 use_onehot=cfg.DATASETS.USE_ONEHOT,
                 max_length=cfg.INPUT.MAX_TEXT_LENGTH,
                 tokenizer=tokenizer,
+                cache_images=cfg.DATALOADER.CACHE_IMAGES,
                 **spec["args"],
             )
         )
