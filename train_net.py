@@ -89,8 +89,9 @@ def train(cfg, output_dir, resume_from, use_tensorboard):
     (model, state, tx, data_loader, data_loader_val, mesh,
      lr_schedule) = build_everything(cfg, logger)
 
-    # Pretrained visual weights: CLIP jit archives for m_resnet*, mirroring
-    # reference m_resnet.py:294-307 path conventions.
+    # Pretrained visual weights: CLIP jit archives, mirroring reference
+    # m_resnet.py:294-307 path conventions (+ the ViT extension).
+    visual = None
     if cfg.MODEL.VISUAL_MODEL.startswith("m_resnet"):
         arch = "RN101" if cfg.MODEL.VISUAL_MODEL.endswith("101") else "RN50"
         clip_path = os.path.join(cfg.ROOT, "pretrained", "clip", f"{arch}.pt")
@@ -99,25 +100,45 @@ def train(cfg, output_dir, resume_from, use_tensorboard):
             visual = load_clip_visual(
                 clip_path, arch, model.visual.final_grid
             )
-            merged = merge_pretrained(
-                {"params": state.params, "batch_stats": state.batch_stats},
+    elif cfg.MODEL.VISUAL_MODEL.startswith("clip_vit"):
+        names = {"clip_vit_b32": "ViT-B-32", "clip_vit_b16": "ViT-B-16",
+                 "clip_vit_l14": "ViT-L-14"}
+        clip_path = os.path.join(
+            cfg.ROOT, "pretrained", "clip",
+            f"{names.get(cfg.MODEL.VISUAL_MODEL, 'ViT-B-16')}.pt",
+        )
+        if os.path.isfile(clip_path):
+            from textreid_tpu.utils.weight_convert import (
+                convert_clip_vit,
+                load_torch_state_dict as _load_sd,
+            )
+
+            logger.info("Loading CLIP ViT weights from %s", clip_path)
+            sd = _load_sd(clip_path)
+            sd = {k: v for k, v in sd.items() if k.startswith("visual.")}
+            visual = convert_clip_vit(sd, model.visual.layers,
+                                      final_grid=model.visual.grid)
+            visual.setdefault("batch_stats", {})
+    if visual is not None:
+        merged = merge_pretrained(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": {"visual": visual["params"]},
+             "batch_stats": {"visual": visual["batch_stats"]}},
+        )
+        state = state.replace(
+            params=merged["params"], batch_stats=merged["batch_stats"]
+        )
+        if state.key_params is not None:
+            kmerged = merge_pretrained(
+                {"params": state.key_params,
+                 "batch_stats": state.key_batch_stats},
                 {"params": {"visual": visual["params"]},
                  "batch_stats": {"visual": visual["batch_stats"]}},
             )
             state = state.replace(
-                params=merged["params"], batch_stats=merged["batch_stats"]
+                key_params=kmerged["params"],
+                key_batch_stats=kmerged["batch_stats"],
             )
-            if state.key_params is not None:
-                kmerged = merge_pretrained(
-                    {"params": state.key_params,
-                     "batch_stats": state.key_batch_stats},
-                    {"params": {"visual": visual["params"]},
-                     "batch_stats": {"visual": visual["batch_stats"]}},
-                )
-                state = state.replace(
-                    key_params=kmerged["params"],
-                    key_batch_stats=kmerged["batch_stats"],
-                )
 
     arguments = {"iteration": 0, "epoch": 0,
                  "max_epoch": cfg.SOLVER.NUM_EPOCHS}
