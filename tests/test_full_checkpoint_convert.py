@@ -172,3 +172,112 @@ class TestFullCheckpointConversion:
         new_state, metrics = step(state, batch)
         assert int(new_state.queue_ptr) == (4 + 4) % K
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestFullModelNumericParity:
+    def test_eval_embeddings_match_torch_oracle(self):
+        """Strongest conversion evidence available without the released
+        files: the complete eval path (uint8 preprocess -> CLIP-RN trunk ->
+        attention pool -> embed layer; tokens -> bi-GRU -> max-pool -> embed
+        layer) of a converted reference checkpoint must match the same
+        pipeline recomputed with torch functional ops."""
+        import torch
+        import torch.nn.functional as TF
+
+        from tests.test_m_resnet_parity import (
+            torch_attnpool,
+            torch_bottleneck,
+            torch_bn,
+            t as tt,
+        )
+        from tests.test_gru import torch_bigru_maxpool
+
+        cfg = tiny_cfg()
+        sd = make_reference_checkpoint()
+        converted = convert_textreid_checkpoint(sd, cfg)
+        model = tiny_model(cfg)
+
+        rng = np.random.RandomState(3)
+        n = 4  # divides MoCo K
+        pixels_u8 = rng.randint(0, 255, (n, 32, 16, 3), dtype=np.uint8)
+        token_ids = rng.randint(1, 40, (n, 10)).astype(np.int32)
+        lengths = np.array([10, 4, 7, 1], np.int64)
+
+        # ---- ours ----------------------------------------------------------
+        batch = {
+            "pixels": pixels_u8,
+            "erase": np.zeros((n, 5), np.int32),
+            "token_ids": token_ids,
+            "lengths": lengths.astype(np.int32),
+            "pids": np.zeros(n, np.int32),
+        }
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(batch["pixels"]),
+            jnp.asarray(batch["token_ids"]), jnp.asarray(batch["lengths"]),
+            method="init_all",
+        )
+        tx = make_optimizer(cfg, variables["params"])
+        state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0),
+                                   batch)
+        merged = merge_pretrained(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": converted["params"],
+             "batch_stats": converted["batch_stats"]},
+        )
+        state = state.replace(params=merged["params"],
+                              batch_stats=merged["batch_stats"])
+        v_ours, t_ours = encode_step(model, state, batch)
+
+        # ---- torch oracle ----------------------------------------------------
+        mean = np.asarray(cfg.INPUT.PIXEL_MEAN, np.float32)
+        std = np.asarray(cfg.INPUT.PIXEL_STD, np.float32)
+        x = (pixels_u8.astype(np.float32) / 255.0 - mean) / std
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+
+        vsd = {k[len("visual_model."):]: v for k, v in sd.items()
+               if k.startswith("visual_model.")}
+        # resize pos-embed exactly the way the converter did
+        vsd = dict(vsd)
+        vsd["attnpool.positional_embedding"] = np.asarray(
+            converted["params"]["visual"]["attnpool"]["positional_embedding"]
+        )
+        y = TF.relu(torch_bn(TF.conv2d(xt, tt(vsd, "conv1.weight"), stride=2,
+                                       padding=1), vsd, "bn1"))
+        y = TF.relu(torch_bn(TF.conv2d(y, tt(vsd, "conv2.weight"), padding=1),
+                             vsd, "bn2"))
+        y = TF.relu(torch_bn(TF.conv2d(y, tt(vsd, "conv3.weight"), padding=1),
+                             vsd, "bn3"))
+        y = TF.avg_pool2d(y, 2)
+        for stage, blocks in enumerate(LAYERS, start=1):
+            stride = 1 if stage == 1 else (2 if stage < 4 else 1)
+            for b in range(blocks):
+                y = torch_bottleneck(y, vsd, f"layer{stage}.{b}",
+                                     stride if b == 0 else 1)
+        v_feat = torch_attnpool(y, vsd, heads=4, out_dim=OUT_DIM)
+        v_want = TF.linear(
+            v_feat,
+            torch.from_numpy(sd["embed_model.v_embed_layer.weight"]),
+            torch.from_numpy(sd["embed_model.v_embed_layer.bias"]),
+        ).detach().numpy()
+
+        # text tower: frozen-table lookup (our init fallback table) + GRU
+        table = np.asarray(
+            variables["constants"]["textual"]["frozen_token_table"]
+        )
+        embedded = table[token_ids]
+        t_feat = torch_bigru_maxpool(
+            embedded.astype(np.float32), lengths,
+            sd["textual_model.gru.weight_ih_l0"],
+            sd["textual_model.gru.weight_hh_l0"],
+            sd["textual_model.gru.weight_ih_l0_reverse"],
+            sd["textual_model.gru.weight_hh_l0_reverse"],
+            HID,
+        )
+        t_want = TF.linear(
+            torch.from_numpy(t_feat),
+            torch.from_numpy(sd["embed_model.t_embed_layer.weight"]),
+            torch.from_numpy(sd["embed_model.t_embed_layer.bias"]),
+        ).detach().numpy()
+
+        np.testing.assert_allclose(np.asarray(v_ours), v_want, atol=3e-4)
+        np.testing.assert_allclose(np.asarray(t_ours), t_want, atol=3e-5)
