@@ -15,10 +15,117 @@ from __future__ import annotations
 import json
 import logging
 import os
-from typing import Any, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
+
+
+# ---------------------------------------------------------------------------
+# Tolerant key alignment (reference checkpoint.py:90-148)
+# ---------------------------------------------------------------------------
+
+def _flatten(tree: Any, prefix: Tuple[str, ...] = ()) -> Dict[Tuple[str, ...], Any]:
+    if isinstance(tree, dict):
+        out: Dict[Tuple[str, ...], Any] = {}
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (str(k),)))
+        return out
+    return {prefix: tree}
+
+
+def _unflatten(flat: Dict[Tuple[str, ...], Any]) -> Any:
+    root: dict = {}
+    for path, leaf in flat.items():
+        node = root
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = leaf
+    return root
+
+
+def align_pytree(
+    target: Any,
+    loaded: Any,
+    logger: Optional[logging.Logger] = None,
+    label: str = "",
+) -> Any:
+    """Longest-suffix key alignment of ``loaded`` onto ``target``'s tree.
+
+    The reference loads DDP/partial/renamed checkpoints by matching every
+    current key against the loaded key with the longest suffix overlap
+    (`/root/reference/lib/utils/checkpoint.py:90-127`).  Same contract here
+    over nested param dicts: for each target leaf path, the loaded leaf whose
+    path is the longest component-wise suffix of it (or vice versa) wins,
+    provided shapes agree; unmatched leaves keep their current (init) values
+    with a warning instead of failing the load.
+    """
+    logger = logger or logging.getLogger("PersonSearch.checkpoint")
+    t_flat = _flatten(target)
+    l_flat = _flatten(loaded)
+
+    def suffix_len(a: Tuple[str, ...], b: Tuple[str, ...]) -> int:
+        n = 0
+        while n < len(a) and n < len(b) and a[-1 - n] == b[-1 - n]:
+            n += 1
+        return n
+
+    out: Dict[Tuple[str, ...], Any] = {}
+    unmatched = []
+    for path, cur in t_flat.items():
+        candidates, best_len = [], 0
+        for lpath in l_flat:
+            n = suffix_len(path, lpath)
+            if n > best_len:
+                candidates, best_len = [lpath], n
+            elif n == best_len and n > 0:
+                candidates.append(lpath)
+        # Accept the match iff it is unique at the max suffix length and
+        # either spans >=2 path components (a renamed parent module) or is a
+        # full match of the shorter path (the reference's endswith rule,
+        # which covers the DDP "module." wrapper case).  A bare leaf-name
+        # tie ("kernel") is ambiguous and must not randomly alias weights.
+        best = None
+        if len(candidates) == 1 and best_len > 0:
+            lpath = candidates[0]
+            if best_len >= 2 or best_len == min(len(path), len(lpath)):
+                best = lpath
+        if best is None:
+            unmatched.append(path)
+            out[path] = cur
+            continue
+        leaf = l_flat[best]
+        cur_shape = tuple(np.shape(cur))
+        if tuple(np.shape(leaf)) != cur_shape:
+            logger.warning(
+                "align%s: %s matched %s but shapes differ (%s vs %s); "
+                "keeping initialization",
+                f"[{label}]" if label else "", "/".join(path),
+                "/".join(best), tuple(np.shape(leaf)), cur_shape,
+            )
+            out[path] = cur
+            continue
+        if best != path:
+            logger.info(
+                "align%s: %s loaded from %s",
+                f"[{label}]" if label else "", "/".join(path), "/".join(best),
+            )
+        out[path] = leaf
+    if unmatched:
+        logger.warning(
+            "align%s: %d leaves not found in checkpoint, kept initialization: %s",
+            f"[{label}]" if label else "", len(unmatched),
+            ", ".join("/".join(p) for p in unmatched[:10]),
+        )
+    return _unflatten(out)
+
+
+def jnp_asarray_like(leaf: Any, ref: Any) -> Any:
+    """Cast an aligned numpy leaf back to the dtype of the live state leaf."""
+    import jax.numpy as jnp
+
+    return jnp.asarray(leaf, dtype=np.asarray(ref).dtype)
 
 
 class Checkpointer:
@@ -47,17 +154,50 @@ class Checkpointer:
         with open(path + ".meta.json", "w") as f:
             json.dump(kwargs, f)
 
+    WEIGHT_FIELDS = ("params", "batch_stats", "constants", "key_params",
+                     "key_batch_stats")
+
     def load(self, path: str, state: Any) -> Any:
         """Weights-only load: restore params/batch_stats/constants (and MoCo
-        key params) into ``state``; optimizer/progress untouched."""
-        restored = self._restore(path, state)
-        keep = {"params", "batch_stats", "constants", "key_params",
-                "key_batch_stats"}
+        key params) into ``state``; optimizer/progress untouched.
+
+        A checkpoint whose tree does not match ``state`` exactly (renamed
+        module, partial save, older revision) falls back to longest-suffix
+        key alignment — the reference's tolerant-load contract
+        (`lib/utils/checkpoint.py:90-148`) — instead of failing.
+        """
+        try:
+            restored = self._restore(path, state)
+        except Exception as exc:  # tree/shape mismatch -> tolerant align
+            self.logger.warning(
+                "Strict restore failed (%s: %s); falling back to "
+                "longest-suffix key alignment", type(exc).__name__, exc,
+            )
+            return self.load_aligned(path, state)
         updates = {
             k: getattr(restored, k)
-            for k in keep
+            for k in self.WEIGHT_FIELDS
             if getattr(restored, k, None) is not None
         }
+        return state.replace(**updates)
+
+    def load_aligned(self, path: str, state: Any) -> Any:
+        """Weights-only tolerant load: raw-restore the checkpoint tree and
+        align each weight collection onto ``state`` by longest-suffix key
+        matching (unmatched leaves keep initialization, with warnings)."""
+        raw = self._ckptr.restore(os.path.abspath(path))
+        if not isinstance(raw, dict):
+            raise TypeError(f"Unexpected checkpoint payload: {type(raw)}")
+        updates = {}
+        for field in self.WEIGHT_FIELDS:
+            cur = getattr(state, field, None)
+            if cur is None or field not in raw or raw[field] is None:
+                continue
+            updates[field] = jax.tree.map(
+                jnp_asarray_like, align_pytree(
+                    jax.device_get(cur), raw[field], self.logger, label=field
+                ), cur,
+            )
         return state.replace(**updates)
 
     def resume(self, path: str, state: Any) -> tuple:

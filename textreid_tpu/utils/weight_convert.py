@@ -386,11 +386,31 @@ def load_clip_visual(path: str, arch: str, final_grid: Tuple[int, int]) -> dict:
     return convert_m_resnet(visual, layers, final_grid)
 
 
-def merge_pretrained(variables: dict, converted: dict) -> dict:
+def merge_pretrained(variables: dict, converted: dict,
+                     tolerant: bool = False) -> dict:
     """Overlay converted weights onto freshly-initialized variables,
     keeping any leaves the checkpoint does not provide (the tolerant-load
-    contract of reference checkpoint.py:90-148)."""
+    contract of reference checkpoint.py:90-148).
+
+    ``tolerant=True`` additionally aligns *renamed/moved* leaves by
+    longest-suffix key matching (reference checkpoint.py:90-127), so a
+    checkpoint from a slightly restructured model revision loads with
+    warnings instead of silently keeping init for moved subtrees.
+    """
     import jax.numpy as jnp
+
+    if tolerant:
+        from .checkpoint import align_pytree
+
+        return {
+            coll: jax.tree.map(
+                lambda leaf, ref: jnp.asarray(leaf, np.asarray(ref).dtype),
+                align_pytree(jax.device_get(tree),
+                             converted.get(coll, {}), label=coll),
+                tree,
+            )
+            for coll, tree in variables.items()
+        }
 
     def merge(dst, src):
         if not isinstance(dst, dict):
