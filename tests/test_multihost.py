@@ -81,13 +81,102 @@ print(f"RESULT loss={float(metrics['loss']):.6f} "
 """
 
 
+WORKER_EVAL = r"""
+import os, sys
+sys.path.insert(0, os.environ["REPO"])
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=os.environ["COORD"],
+    num_processes=2,
+    process_id=int(os.environ["PID_IDX"]),
+)
+import numpy as np
+import jax.numpy as jnp
+from textreid_tpu.config import get_default_cfg
+from textreid_tpu.engine import create_train_state
+from textreid_tpu.engine.inference import compute_embeddings
+from textreid_tpu.evaluation.metrics import evaluation
+from textreid_tpu.models import BiGRUEncoder, TextReIDModel
+from textreid_tpu.models.m_resnet import ModifiedResNet
+from textreid_tpu.parallel import make_mesh
+from textreid_tpu.solver import make_optimizer
+
+assert jax.device_count() == 4
+
+cfg = get_default_cfg()
+cfg.MODEL.EMBEDDING.FEATURE_SIZE = 32
+cfg.MODEL.NUM_CLASSES = 8
+
+model = TextReIDModel(
+    visual=ModifiedResNet(layers=(1, 1, 1, 1), output_dim=32, heads=4,
+                          last_stride=1, input_resolution=(32, 16), width=16),
+    textual=BiGRUEncoder(hidden_dim=16, vocab_size=50, embed_size=16),
+    feature_size=32, num_classes=8,
+)
+rng = np.random.RandomState(0)  # same data on every process
+
+def make_batch(i):
+    r = np.random.RandomState(100 + i)
+    return {
+        "pixels": r.randn(8, 32, 16, 3).astype(np.float32),
+        "token_ids": r.randint(1, 50, (8, 10)).astype(np.int32),
+        "lengths": r.randint(2, 10, (8,)).astype(np.int32),
+        "pids": r.randint(0, 8, (8,)).astype(np.int32),
+        "image_ids": np.arange(i * 8, (i + 1) * 8, dtype=np.int32),
+        "index": np.arange(i * 8, (i + 1) * 8, dtype=np.int32),
+        "valid": np.ones((8,), bool),
+    }
+
+class FakeLoader:
+    class dataset:
+        def __len__(self):
+            return 16
+    dataset = [None] * 16
+    def __iter__(self):
+        return iter([make_batch(0), make_batch(1)])
+
+first = make_batch(0)
+first.pop("valid")
+variables = model.init(
+    jax.random.PRNGKey(0), jnp.asarray(first["pixels"]),
+    jnp.asarray(first["token_ids"]), jnp.asarray(first["lengths"]),
+    method="init_all",
+)
+tx = make_optimizer(cfg, variables["params"])
+state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), first)
+
+mesh = make_mesh(4)
+embeds = compute_embeddings(model, state, FakeLoader(), mesh=mesh)
+results = evaluation(
+    embeds["v_embed"], embeds["t_embed"], embeds["pids"], embeds["pids"],
+    embeds["image_ids"], rerank=True,
+)
+# single-process (unmeshed) result must agree within numerics
+local = compute_embeddings(model, state, FakeLoader(), mesh=None)
+dv = float(np.max(np.abs(embeds["v_embed"] - local["v_embed"])))
+dt = float(np.max(np.abs(embeds["t_embed"] - local["t_embed"])))
+print(
+    "RESULT r1={:.4f} map={:.4f} checksum={:.6f} dv={:.2e} dt={:.2e}".format(
+        results["t2i"]["cmc"][0], results["t2i"]["mAP"],
+        float(np.sum(embeds["v_embed"]) + np.sum(embeds["t_embed"])),
+        dv, dt,
+    ),
+    flush=True,
+)
+assert dv < 1e-4 and dt < 1e-4, (dv, dt)
+"""
+
+
 def _free_port():
     with socket.socket() as s:
         s.bind(("", 0))
         return s.getsockname()[1]
 
 
-def _run_workers():
+def _run_workers(script=WORKER):
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -99,7 +188,7 @@ def _run_workers():
         )
         procs.append(
             subprocess.Popen(
-                [sys.executable, "-c", WORKER], env=env,
+                [sys.executable, "-c", script], env=env,
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             )
         )
@@ -128,3 +217,18 @@ def test_two_process_sharded_step_agrees():
     assert np.isfinite(loss)
     # K=8, global batch 8 -> the queue pointer wraps to 0 after one step
     assert "ptr=0" in outs[0]
+
+
+def test_two_process_eval_agrees():
+    """Multi-process *evaluation*: encode with replicated outputs (the XLA
+    all-gather replacing the reference's pickle all_gather,
+    lib/engine/inference.py:29-45) — both processes must produce the same
+    metrics, matching an unmeshed single-host computation."""
+    try:
+        outs = _run_workers(WORKER_EVAL)
+    except (RuntimeError, subprocess.TimeoutExpired):
+        outs = _run_workers(WORKER_EVAL)
+
+    assert outs[0] == outs[1], outs
+    r1 = float(outs[0].split("r1=")[1].split()[0])
+    assert np.isfinite(r1) and 0.0 <= r1 <= 100.0

@@ -17,6 +17,8 @@ from __future__ import annotations
 import logging
 import os
 import time
+from functools import partial
+
 import jax
 import numpy as np
 
@@ -30,10 +32,21 @@ def compute_embeddings(model, state: TrainState, data_loader, mesh=None):
     """Encode the whole loader; returns per-sample arrays ordered by dataset
     index (reference compute_on_dataset, inference.py:14-26)."""
     if mesh is not None:
-        # batches arrive mesh-sharded; the state must live on the same mesh
+        # Batches arrive mesh-sharded; the state must live on the same mesh.
+        # Embeddings come back *replicated*: XLA inserts the all-gather over
+        # ICI (the native analogue of the reference's pickle byte-tensor
+        # all_gather, lib/utils/comm.py:47-87), which also makes the outputs
+        # fully addressable from every process — np.asarray below is then
+        # correct for jax.process_count() > 1, where the per-device shards
+        # of a batch-sharded output would not all be host-local.
         state = replicate_state(state, mesh)
+        from ..parallel.mesh import replicated
 
-    @jax.jit
+        out_shardings = (replicated(mesh), replicated(mesh))
+    else:
+        out_shardings = None
+
+    @partial(jax.jit, out_shardings=out_shardings)
     def _encode(state, batch):
         return encode_step(model, state, batch)
 
