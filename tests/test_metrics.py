@@ -246,3 +246,19 @@ class TestInferenceReplay:
                     "rvn_mat", "rtn_mat"):
             assert key in saved, key
         assert saved["similarity"].shape == (n, n)
+
+
+def test_map_zero_relevant_query_is_zero_not_nan():
+    """The reference divides AP by num_rel unguarded (evaluation.py:33-36)
+    and NaNs on a query with no relevant gallery item; we score it 0."""
+    import jax.numpy as jnp
+
+    from textreid_tpu.evaluation.metrics import rank
+
+    sim = jnp.asarray([[0.9, 0.1], [0.2, 0.8]])
+    q_pids = jnp.asarray([1, 99])  # pid 99 absent from the gallery
+    g_pids = jnp.asarray([1, 2])
+    cmc, mean_ap, _ = rank(sim, q_pids, g_pids, topk=(1, 2))
+    assert np.isfinite(float(mean_ap))
+    # query 0: AP=1 (hit at rank 1); query 1: AP=0 -> mAP 50%
+    np.testing.assert_allclose(float(mean_ap), 50.0, atol=1e-4)

@@ -63,7 +63,15 @@ def rank(
     num_rel = jnp.sum(matches, axis=1)
     ranks = jnp.arange(1, matches.shape[1] + 1, dtype=jnp.float32)
     precision_at = jnp.cumsum(matches, axis=1) / ranks[None, :]
-    ap = jnp.sum(precision_at * matches, axis=1) / num_rel
+    # A query with zero relevant gallery items scores AP=0 here.  The
+    # reference divides by num_rel unguarded (evaluation.py:33-36) and
+    # would produce NaN; real CUHK-PEDES queries always have >=1 match so
+    # the two agree there, but ICFG/synthetic splits may not.
+    ap = jnp.where(
+        num_rel > 0,
+        jnp.sum(precision_at * matches, axis=1) / jnp.maximum(num_rel, 1.0),
+        0.0,
+    )
     mean_ap = jnp.mean(ap) * 100.0
     return cmc_at, mean_ap, indices
 
