@@ -280,3 +280,51 @@ class TestImageCache:
         assert ds._img_cache is not None and len(ds._img_cache) > 0
         for a in cached:
             pass
+
+
+class TestFrozenVocabGuard:
+    """A missing frozen-table .npy must fail loudly, not silently train on a
+    random table (round-1 verdict item: a mistyped --root produced garbage)."""
+
+    def test_missing_table_raises(self, tmp_path):
+        from textreid_tpu.utils.vocab import frozen_table_initializer
+
+        cfg = get_default_cfg()
+        cfg.MODEL.GRU.ONEHOT = "clip_vit"
+        cfg.ROOT = str(tmp_path)  # no datasets/cuhkpedes/clip_vocab_vit.npy
+        with pytest.raises(FileNotFoundError, match="clip_vocab_vit"):
+            frozen_table_initializer(cfg)
+
+    def test_explicit_optout_allows_random_table(self, tmp_path):
+        from textreid_tpu.utils.vocab import frozen_table_initializer
+
+        cfg = get_default_cfg()
+        cfg.MODEL.GRU.ONEHOT = "clip_vit"
+        cfg.ROOT = str(tmp_path)
+        cfg.TPU.ALLOW_RANDOM_VOCAB = True
+        assert frozen_table_initializer(cfg) is None
+
+    def test_present_table_loads(self, tmp_path):
+        from textreid_tpu.utils.vocab import frozen_table_initializer
+
+        table = np.random.RandomState(0).rand(16, 8).astype(np.float32)
+        d = tmp_path / "datasets" / "cuhkpedes"
+        d.mkdir(parents=True)
+        np.save(d / "clip_vocab_vit.npy", table)
+        cfg = get_default_cfg()
+        cfg.MODEL.GRU.ONEHOT = "clip_vit"
+        cfg.ROOT = str(tmp_path)
+        init = frozen_table_initializer(cfg)
+        np.testing.assert_array_equal(init(), table)
+
+    def test_model_without_table_raises(self):
+        from textreid_tpu.models.gru import BiGRUEncoder
+        import jax
+        import jax.numpy as jnp
+
+        enc = BiGRUEncoder(hidden_dim=8, vocab_size=16, embed_size=8,
+                           use_onehot="clip_vit")
+        tokens = jnp.ones((2, 5), jnp.int32)
+        lengths = jnp.full((2,), 5, jnp.int32)
+        with pytest.raises(ValueError, match="frozen token table"):
+            enc.init(jax.random.PRNGKey(0), tokens, lengths)

@@ -93,7 +93,7 @@ def tiny_model(cfg):
         ),
         textual=BiGRUEncoder(
             hidden_dim=HID, vocab_size=40, embed_size=EMB,
-            use_onehot="clip_vit",
+            use_onehot="clip_vit", allow_random_table=True,
         ),
         feature_size=FEAT, num_classes=11, embed_head="moco", moco_fc=False,
     )

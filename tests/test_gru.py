@@ -15,7 +15,12 @@ import torch
 import jax
 import jax.numpy as jnp
 
-from textreid_tpu.models.gru import BiGRUEncoder, gru_scan, reverse_padded
+from textreid_tpu.models.gru import (
+    BiGRUEncoder,
+    gru_scan,
+    masked_max_pool,
+    reverse_padded,
+)
 
 
 def torch_bigru_maxpool(x, lengths, w_ih_f, w_hh_f, w_ih_b, w_hh_b, hidden):
@@ -39,9 +44,9 @@ def torch_bigru_maxpool(x, lengths, w_ih_f, w_hh_f, w_ih_b, w_hh_b, hidden):
         xt[order], lens[order], batch_first=True
     )
     out, _ = gru(packed)
-    out, _ = torch.nn.utils.rnn.pad_packed_sequence(
-        out, batch_first=True, total_length=x.shape[1]
-    )
+    # NB: like the reference (gru.py:78-79), pad_packed_sequence pads only
+    # to the *batch* max length — the longest sample gets no zero padding.
+    out, _ = torch.nn.utils.rnn.pad_packed_sequence(out, batch_first=True)
     out = out[inv]
     return out.max(dim=1).values.detach().numpy()
 
@@ -72,8 +77,7 @@ def jax_bigru_maxpool(x, lengths, w_ih_f, w_hh_f, w_ih_b, w_hh_b, h):
     out_f = run(xj, w_ih_f, w_hh_f)
     out_b = reverse_padded(run(reverse_padded(xj, lens), w_ih_b, w_hh_b), lens)
     out = jnp.concatenate([out_f, out_b], axis=-1)
-    valid = (jnp.arange(t)[None, :] < lens[:, None])[..., None]
-    return np.asarray(jnp.max(jnp.where(valid, out, 0.0), axis=1))
+    return np.asarray(masked_max_pool(out, lens))
 
 
 class TestGRUParity:
@@ -92,8 +96,8 @@ class TestGRUParity:
 
     def test_negative_activation_pads_pool_to_zero(self, problem):
         """The reference max-pools the zero-padded output, so a channel whose
-        valid outputs are all negative pools to exactly 0 when padding
-        exists (gru.py:62-64)."""
+        valid outputs are all negative pools to exactly 0 when the sample is
+        shorter than the batch max (gru.py:62-64,78-79)."""
         b, t, e, h, x, _, wf, whf, wb, whb = problem
         lengths = np.array([3, 2, 4, 1, 2], dtype=np.int64)
         got = jax_bigru_maxpool(x, lengths, wf, whf, wb, whb, h)
@@ -101,6 +105,23 @@ class TestGRUParity:
         np.testing.assert_allclose(got, want, atol=1e-5)
         # padding wins in at least some channel for this seed
         assert (got == 0.0).any()
+
+    def test_batch_max_sample_keeps_negative_channels(self, problem):
+        """pad_packed_sequence pads only to the *batch* max length, so the
+        longest sample in a batch gets NO zero participation — an
+        all-negative channel must stay negative for it.  (Regression for a
+        round-1 semantic bug found by running the actual reference code as
+        an oracle, tests/test_reference_oracle.py.)"""
+        b, t, e, h, x, _, wf, whf, wb, whb = problem
+        # sample 0 is the batch max but shorter than the padded grid t=12
+        lengths = np.array([6, 2, 4, 1, 2], dtype=np.int64)
+        want = torch_bigru_maxpool(x, lengths, wf, whf, wb, whb, h)
+        got = jax_bigru_maxpool(x, lengths, wf, whf, wb, whb, h)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        # the oracle itself must show a negative pooled channel for sample 0
+        assert want[0].min() < 0.0
+        # and everyone shorter than the batch max is clamped at >= 0
+        assert got[1:].min() >= 0.0
 
 
 class TestReversePadded:
@@ -186,8 +207,7 @@ class TestMultiLayerBiGRU:
         packed = torch.nn.utils.rnn.pack_padded_sequence(
             xt[order], lens[order], batch_first=True)
         out, _ = gru(packed)
-        out, _ = torch.nn.utils.rnn.pad_packed_sequence(
-            out, batch_first=True, total_length=t)
+        out, _ = torch.nn.utils.rnn.pad_packed_sequence(out, batch_first=True)
         want = out[inv].max(dim=1).values.detach().numpy()
 
         enc = BiGRUEncoder(hidden_dim=h, vocab_size=v, embed_size=e,

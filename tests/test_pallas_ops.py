@@ -127,3 +127,95 @@ class TestHybridVJP:
             np.asarray(hybrid(xg, wh, h0)),
             np.asarray(_xla_scan_forward(xg, wh, h0)), atol=1e-5,
         )
+
+
+class TestBiGRUPooledPallas:
+    """Fused bidirectional scan + masked max-over-time kernel."""
+
+    def _setup(self, seed=0, t=9, b=8, h=16):
+        from textreid_tpu.models.gru import reverse_padded
+
+        rng = np.random.RandomState(seed)
+        xf = jnp.asarray(rng.randn(b, t, 3 * h).astype(np.float32) * 0.3)
+        x_raw = jnp.asarray(rng.randn(b, t, 3 * h).astype(np.float32) * 0.3)
+        lengths = jnp.asarray(rng.randint(1, t + 1, size=b).astype(np.int32))
+        xb = reverse_padded(x_raw, lengths)
+        wf = jnp.asarray(rng.randn(h, 3 * h).astype(np.float32) * 0.3)
+        wb = jnp.asarray(rng.randn(h, 3 * h).astype(np.float32) * 0.3)
+        return xf, xb, wf, wb, lengths
+
+    def _xla_oracle(self, xf, xb, wf, wb, lengths):
+        from textreid_tpu.ops.gru_pallas import _xla_pooled_forward
+
+        return _xla_pooled_forward(
+            jnp.swapaxes(xf, 0, 1), jnp.swapaxes(xb, 0, 1), wf, wb, lengths
+        )
+
+    def test_matches_xla_masked_maxpool(self):
+        from textreid_tpu.ops.gru_pallas import bigru_pooled_scan
+
+        xf, xb, wf, wb, lengths = self._setup()
+        got = bigru_pooled_scan(xf, xb, wf, wb, lengths, interpret=True)
+        want = self._xla_oracle(xf, xb, wf, wb, lengths)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_full_length_sample_keeps_negative_channels(self):
+        """A sample with no padding must NOT get the zero clamp
+        (reference gru.py:62-64: only padded positions contribute zeros)."""
+        from textreid_tpu.ops.gru_pallas import bigru_pooled_scan
+
+        xf, xb, wf, wb, _ = self._setup(seed=3, t=5, b=4, h=8)
+        lengths = jnp.asarray([5, 5, 2, 1], jnp.int32)
+        got = bigru_pooled_scan(xf, xb, wf, wb, lengths, interpret=True)
+        want = self._xla_oracle(xf, xb, wf, wb, lengths)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+        # padded samples are clamped at >= 0; full-length ones may go below
+        assert np.asarray(got)[2:].min() >= 0.0
+
+    def test_gradients_match_xla(self):
+        from textreid_tpu.ops.gru_pallas import bigru_pooled_scan
+
+        xf, xb, wf, wb, lengths = self._setup(seed=5, t=6, b=4, h=8)
+
+        def loss_fused(xf, xb, wf, wb):
+            out = bigru_pooled_scan(xf, xb, wf, wb, lengths, interpret=True)
+            return jnp.sum(out * out)
+
+        def loss_xla(xf, xb, wf, wb):
+            out = self._xla_oracle(xf, xb, wf, wb, lengths)
+            return jnp.sum(out * out)
+
+        got = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(xf, xb, wf, wb)
+        want = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(xf, xb, wf, wb)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=1e-5)
+
+    def test_encoder_uses_fused_path(self):
+        """BiGRUEncoder(use_pallas=True) output equals the plain-XLA encoder
+        (interpret-mode patching of the kernel)."""
+        from unittest import mock
+
+        import textreid_tpu.ops.gru_pallas as gp
+        from textreid_tpu.models.gru import BiGRUEncoder
+
+        rng = np.random.RandomState(2)
+        tokens = jnp.asarray(rng.randint(1, 40, (4, 7)).astype(np.int32))
+        lengths = jnp.asarray([7, 3, 5, 1], jnp.int32)
+
+        plain = BiGRUEncoder(hidden_dim=8, vocab_size=40, embed_size=8)
+        variables = plain.init(jax.random.PRNGKey(0), tokens, lengths)
+        want = plain.apply(variables, tokens, lengths)
+
+        fused = BiGRUEncoder(hidden_dim=8, vocab_size=40, embed_size=8,
+                             use_pallas=True)
+        orig = gp._bigru_pooled_pallas
+        with mock.patch.object(
+            gp, "_bigru_pooled_pallas",
+            lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+        ):
+            got = fused.apply(variables, tokens, lengths)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)

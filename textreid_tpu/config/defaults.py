@@ -158,6 +158,10 @@ _C.TPU.REMAT = False
 # Raise on non-finite training losses at every log boundary (the jit-pure
 # analogue of torch anomaly detection; SURVEY 5.2).
 _C.TPU.DEBUG_NANS = False
+# Permit a FIXED RANDOM frozen vocab table when the .npy file is missing
+# (synthetic/smoke runs only). Off by default: a real run with a mistyped
+# --root must fail loudly, not train to garbage.
+_C.TPU.ALLOW_RANDOM_VOCAB = False
 
 _C.SEED = 0
 

@@ -18,10 +18,11 @@ TPU-native re-design of the reference text branch
   (gru.py:36-43): ``r = sigma(W_ir x + W_hr h)``, ``z = sigma(W_iz x + W_hz h)``,
   ``n = tanh(W_in x + r * (W_hn h))``, ``h' = (1-z) n + z h``.
 * Max-over-time pooling reproduces the reference exactly
-  (gru.py:62-64): positions at or beyond each sample's length contribute
-  **zero** (pad-packed output is zero there), so the pooled value is
-  ``max(out * valid_mask)`` — including the reference's quirk that an
-  all-negative channel pools to 0 whenever any padding exists.
+  (gru.py:62-64): ``pad_packed_sequence`` pads to the *batch* max length
+  with zeros, so a zero participates in the max for every sample shorter
+  than the longest one in its batch, while the longest sample keeps
+  genuinely negative channels.  See ``masked_max_pool``; verified against
+  the actual torch code in tests/test_reference_oracle.py.
 
 Token embedding follows gru.py:24-34: a learnable embedding table when
 ``ONEHOT == "yes"``, otherwise a frozen lookup table (e.g. CLIP's token
@@ -84,6 +85,18 @@ def gru_scan(
     return jnp.swapaxes(ys, 0, 1)  # [B, T, H]
 
 
+def masked_max_pool(x: Array, lengths: Array) -> Array:
+    """Max over valid time steps with torch pad-packed semantics
+    (reference gru.py:62-64): positions ``t >= len_b`` are excluded, and a
+    zero additionally participates for every sample shorter than the *batch*
+    max length (pad_packed_sequence pads to the batch max, filling zeros)."""
+    seq = x.shape[1]
+    valid = (jnp.arange(seq)[None, :] < lengths[:, None])[..., None]
+    m = jnp.max(jnp.where(valid, x, -jnp.inf), axis=1)  # [B, C]
+    has_pad = (lengths < jnp.max(lengths))[:, None]
+    return jnp.where(has_pad, jnp.maximum(m, 0.0), m)
+
+
 def reverse_padded(x: Array, lengths: Array) -> Array:
     """Per-sample time reversal of the valid prefix: out[b, t] = x[b, len_b-1-t].
 
@@ -110,6 +123,10 @@ class BiGRUEncoder(nn.Module):
     # clip_vocab_vit.npy).  Stored in the non-trainable "constants"
     # collection at init time.
     frozen_table_init: Optional[Callable[[], jnp.ndarray]] = None
+    # Explicit opt-in for the fixed-random-table fallback when no frozen
+    # table is supplied (unit tests / synthetic smoke runs only).  Without
+    # it a missing table is a hard error — see utils/vocab.py.
+    allow_random_table: bool = False
     # Fused Pallas scan kernel (ops/gru_pallas.py): Pallas forward with a
     # custom VJP that differentiates the bit-identical XLA scan, so it is
     # usable in training and serving alike.
@@ -137,11 +154,17 @@ class BiGRUEncoder(nn.Module):
 
         if self.frozen_table_init is not None:
             init_fn = lambda: jnp.asarray(self.frozen_table_init(), self.dtype)  # noqa: E731
-        else:
-            # No external table supplied (e.g. unit tests): a fixed random
-            # table keeps shapes correct.
+        elif self.allow_random_table:
+            # Explicitly-requested fallback (unit tests / synthetic runs):
+            # a fixed random table keeps shapes correct.
             init_fn = lambda: jax.random.normal(  # noqa: E731
                 jax.random.PRNGKey(0), (self.vocab_size, self.embed_size), self.dtype
+            )
+        else:
+            raise ValueError(
+                f"use_onehot={self.use_onehot!r} needs a frozen token table "
+                "(frozen_table_init), or allow_random_table=True for "
+                "synthetic runs."
             )
         table = self.variable("constants", "frozen_token_table", init_fn).value
         embedded = jnp.take(table, token_ids, axis=0)
@@ -167,8 +190,7 @@ class BiGRUEncoder(nn.Module):
 
         init = torch_rnn_init(self.hidden_dim)
 
-        def run_direction(inputs, name, layer):
-            in_dim = inputs.shape[-1]
+        def direction_weights(name, layer, in_dim):
             w_i = self.param(
                 f"{name}_w_ih_l{layer}", init,
                 (in_dim, 3 * self.hidden_dim), jnp.float32,
@@ -177,9 +199,17 @@ class BiGRUEncoder(nn.Module):
                 f"{name}_w_hh_l{layer}", init,
                 (self.hidden_dim, 3 * self.hidden_dim), jnp.float32,
             ).astype(self.dtype)
-            x_gates = (inputs.reshape(batch * seq, in_dim) @ w_i).reshape(
+            return w_i, w_h
+
+        def input_gates(inputs, w_i):
+            in_dim = inputs.shape[-1]
+            return (inputs.reshape(batch * seq, in_dim) @ w_i).reshape(
                 batch, seq, 3 * self.hidden_dim
             )
+
+        def run_direction(inputs, name, layer):
+            w_i, w_h = direction_weights(name, layer, inputs.shape[-1])
+            x_gates = input_gates(inputs, w_i)
             h0 = jnp.zeros((batch, self.hidden_dim), self.dtype)
             if self.use_pallas:
                 from ..ops.gru_pallas import gru_scan_auto
@@ -189,6 +219,20 @@ class BiGRUEncoder(nn.Module):
 
         layer_in = x
         for layer in range(self.num_layers):
+            is_last = layer == self.num_layers - 1
+            if self.use_pallas and self.bidirectional and is_last:
+                # Fused kernel for the output layer: both directions scanned
+                # interleaved and the masked max-over-time pooled in VMEM —
+                # the [B, T, H] per-step hidden states never touch HBM
+                # (ops/gru_pallas.bigru_pooled_scan).
+                from ..ops.gru_pallas import bigru_pooled_scan
+
+                wi_f, wh_f = direction_weights("fwd", layer, layer_in.shape[-1])
+                wi_b, wh_b = direction_weights("bwd", layer, layer_in.shape[-1])
+                xg_f = input_gates(layer_in, wi_f)
+                xg_b = input_gates(reverse_padded(layer_in, lengths), wi_b)
+                return bigru_pooled_scan(xg_f, xg_b, wh_f, wh_b, lengths)
+
             out_fwd = run_direction(layer_in, "fwd", layer)
             if self.bidirectional:
                 rev_in = reverse_padded(layer_in, lengths)
@@ -204,11 +248,13 @@ class BiGRUEncoder(nn.Module):
                 )
             layer_in = layer_out
 
-        # Zero out t >= len, then max over time (reference gru.py:62-64
-        # max-pools the pad-packed output whose padded positions are zero).
-        valid = (jnp.arange(seq)[None, :] < lengths[:, None])[..., None]
-        out = jnp.where(valid, layer_in, 0.0)
-        return jnp.max(out, axis=1)
+        # Max over valid time steps (reference gru.py:62-64 max-pools the
+        # pad-packed output).  torch's pad_packed_sequence pads only to the
+        # *batch* max length, so zeros participate in the max exactly for
+        # samples shorter than the longest one in their batch — the longest
+        # sample keeps genuinely negative channels.  (Caught by running the
+        # actual reference code as an oracle, tests/test_reference_oracle.py.)
+        return masked_max_pool(layer_in, lengths)
 
 
 def build_bigru(cfg, frozen_table_init=None,
@@ -227,6 +273,7 @@ def build_bigru(cfg, frozen_table_init=None,
         bidirectional=True,
         use_onehot=cfg.MODEL.GRU.ONEHOT,
         frozen_table_init=frozen_table_init,
+        allow_random_table=bool(cfg.TPU.ALLOW_RANDOM_VOCAB),
         use_pallas=use_pallas,
         dropout_rate=1.0 - cfg.MODEL.GRU.DROPOUT_KEEP_PROB,
     )

@@ -14,9 +14,17 @@ Layout/contract matches ``models.gru.gru_scan``:
   h0      [B, H]
   -> out  [T, B, H]
 
-Forward-only: the training path keeps the XLA scan (whose VJP jax derives),
-while eval/serving — where the text tower's latency actually matters — uses
-this kernel (``models.gru.BiGRUEncoder`` with ``use_pallas=True``).
+The kernel implements the *forward* scan only, but is fully usable in
+training: ``make_hybrid_scan`` wraps it in a custom VJP whose backward
+differentiates the bit-identical XLA scan (one recompute — the GRU is a
+small fraction of a train step).  ``models.gru.BiGRUEncoder`` with
+``use_pallas=True`` therefore uses it for train and eval alike.
+
+``bigru_pooled_scan`` below goes further for the common 1-layer
+bidirectional case: both directions run interleaved in ONE kernel (two
+independent recurrent chains hide each other's latency) and the masked
+max-over-time pooling is fused in, so the [T, B, H] per-step outputs are
+never written to HBM at all — the kernel emits just the pooled [B, 2H].
 """
 
 from __future__ import annotations
@@ -177,3 +185,151 @@ def gru_scan_auto(x_gates_btg: jax.Array, w_h: jax.Array, h0: jax.Array,
     if reverse:
         ys = ys[::-1]
     return jnp.swapaxes(ys, 0, 1)
+
+
+# ---------------------------------------------------------------------------
+# Fused bidirectional scan + masked max-over-time pooling
+# ---------------------------------------------------------------------------
+
+def _gru_cell(xg, h, w_ref, hidden):
+    hg = jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32).astype(h.dtype)
+    r = jax.nn.sigmoid(xg[:, :hidden] + hg[:, :hidden])
+    z = jax.nn.sigmoid(xg[:, hidden : 2 * hidden] + hg[:, hidden : 2 * hidden])
+    n = jnp.tanh(xg[:, 2 * hidden :] + r * hg[:, 2 * hidden :])
+    return (1.0 - z) * n + z * h
+
+
+def _bigru_pooled_kernel(xf_hbm, xb_hbm, w_f_ref, w_b_ref, len_ref,
+                         pooled_ref, hf, hb, mf, mb, xf_buf, xb_buf,
+                         f_sem, b_sem):
+    """Both directions per step (two independent recurrent chains hide each
+    other's latency), running masked max over valid positions, no per-step
+    HBM writes at all."""
+    seq_len = xf_hbm.shape[0]
+    hidden = hf.shape[-1]
+
+    def f_dma(slot, t):
+        return pltpu.make_async_copy(xf_hbm.at[t], xf_buf.at[slot], f_sem.at[slot])
+
+    def b_dma(slot, t):
+        return pltpu.make_async_copy(xb_hbm.at[t], xb_buf.at[slot], b_sem.at[slot])
+
+    zero = jnp.zeros_like(hf)
+    hf[:] = zero
+    hb[:] = zero
+    neg = jnp.full_like(mf, -jnp.inf)
+    mf[:] = neg
+    mb[:] = neg
+    f_dma(0, 0).start()
+    b_dma(0, 0).start()
+
+    def step(t, _):
+        slot = t % 2
+
+        @pl.when(t + 1 < seq_len)
+        def _():
+            f_dma((t + 1) % 2, t + 1).start()
+            b_dma((t + 1) % 2, t + 1).start()
+
+        f_dma(slot, t).wait()
+        b_dma(slot, t).wait()
+
+        new_hf = _gru_cell(xf_buf[slot], hf[:], w_f_ref, hidden)
+        new_hb = _gru_cell(xb_buf[slot], hb[:], w_b_ref, hidden)
+        hf[:] = new_hf
+        hb[:] = new_hb
+
+        valid = t < len_ref[:]  # [B, 1] broadcast over H
+        mf[:] = jnp.where(valid, jnp.maximum(mf[:], new_hf), mf[:])
+        mb[:] = jnp.where(valid, jnp.maximum(mb[:], new_hb), mb[:])
+        return 0
+
+    jax.lax.fori_loop(0, seq_len, step, 0)
+    pooled_ref[:, :hidden] = mf[:]
+    pooled_ref[:, hidden:] = mb[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bigru_pooled_pallas(xf_tbg, xb_tbg, w_f, w_b, lengths,
+                         interpret: bool = False):
+    seq, batch, three_h = xf_tbg.shape
+    hidden = three_h // 3
+    dtype = xf_tbg.dtype
+    len_2d = lengths.reshape(batch, 1).astype(jnp.int32)
+    return pl.pallas_call(
+        _bigru_pooled_kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, 2 * hidden), dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # xf in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # xb in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_f resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_b resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lengths [B, 1]
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((batch, hidden), dtype),  # h fwd
+            pltpu.VMEM((batch, hidden), dtype),  # h bwd
+            pltpu.VMEM((batch, hidden), dtype),  # running max fwd
+            pltpu.VMEM((batch, hidden), dtype),  # running max bwd
+            pltpu.VMEM((2, batch, three_h), dtype),  # fwd in dbl-buffer
+            pltpu.VMEM((2, batch, three_h), dtype),  # bwd in dbl-buffer
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xf_tbg, xb_tbg, w_f, w_b, len_2d)
+
+
+def _xla_pooled_forward(xf_tbg, xb_tbg, w_f, w_b, lengths):
+    """Mathematical definition (differentiable): two XLA scans + masked
+    max-over-time with torch pad-packed semantics (gru.py:62-64 — zeros
+    participate only for samples shorter than the batch max length; see
+    models.gru.masked_max_pool)."""
+    seq, batch, _ = xf_tbg.shape
+    h0 = jnp.zeros((batch, w_f.shape[0]), xf_tbg.dtype)
+    out_f = _xla_scan_forward(xf_tbg, w_f, h0)  # [T, B, H]
+    out_b = _xla_scan_forward(xb_tbg, w_b, h0)
+    cat = jnp.concatenate([out_f, out_b], axis=-1)  # [T, B, 2H]
+    valid = (jnp.arange(seq)[:, None] < lengths[None, :])[..., None]
+    m = jnp.max(jnp.where(valid, cat, -jnp.inf), axis=0)  # [B, 2H]
+    has_pad = (lengths < jnp.max(lengths))[:, None]
+    return jnp.where(has_pad, jnp.maximum(m, 0.0), m)
+
+
+def bigru_pooled_scan(xf_btg, xb_btg, w_f, w_b, lengths,
+                      interpret: bool = False):
+    """Fused 1-layer bi-GRU: scan both directions and max-pool over valid
+    time steps in one kernel.  ``xb_btg`` must be the per-sample reversed
+    input gates (models.gru.reverse_padded of the embedded sequence).
+
+    Differentiable: the backward pass differentiates the bit-identical XLA
+    formulation (one recompute).  Returns [B, 2H]."""
+
+    @jax.custom_vjp
+    def run(xf, xb, w_f, w_b):
+        xf_t = jnp.swapaxes(xf, 0, 1)
+        xb_t = jnp.swapaxes(xb, 0, 1)
+        pooled = _bigru_pooled_pallas(xf_t, xb_t, w_f, w_b, lengths,
+                                      interpret=interpret)
+        # kernel maxes over valid steps only; torch pad-packed semantics
+        # additionally let 0 participate for samples shorter than the batch
+        # max length (models.gru.masked_max_pool)
+        has_pad = (lengths < jnp.max(lengths))[:, None]
+        return jnp.where(has_pad, jnp.maximum(pooled, 0.0), pooled)
+
+    def fwd(xf, xb, w_f, w_b):
+        return run(xf, xb, w_f, w_b), (xf, xb, w_f, w_b)
+
+    def bwd(residuals, g):
+        xf, xb, w_f, w_b = residuals
+        _, vjp = jax.vjp(
+            lambda a, b, wf, wb: _xla_pooled_forward(
+                jnp.swapaxes(a, 0, 1), jnp.swapaxes(b, 0, 1), wf, wb, lengths
+            ),
+            xf, xb, w_f, w_b,
+        )
+        return vjp(g)
+
+    run.defvjp(fwd, bwd)
+    return run(xf_btg, xb_btg, w_f, w_b)

@@ -29,12 +29,34 @@ def load_vocab_dict(root: str, use_onehot: str) -> np.ndarray:
 
 def frozen_table_initializer(cfg):
     """Return a lazy loader for the frozen table, or None for learnable
-    embeddings (reference gru.py:24-34 semantics)."""
-    if cfg.MODEL.GRU.ONEHOT == "yes":
-        return None
-    root = cfg.ROOT
+    embeddings (reference gru.py:24-34 semantics).
+
+    When the table file is missing this *raises* rather than letting the
+    model silently substitute a random table (a mistyped ``--root`` would
+    otherwise train to garbage).  ``cfg.TPU.ALLOW_RANDOM_VOCAB`` is the
+    explicit opt-out for tests/synthetic runs.
+    """
     mode = cfg.MODEL.GRU.ONEHOT
-    path = os.path.join(root, _VOCAB_FILES.get(mode, ""))
+    if mode == "yes":
+        return None
+    if mode not in _VOCAB_FILES:
+        raise NotImplementedError(f"Unknown vocab mode: {mode}")
+    root = cfg.ROOT
+    path = os.path.join(root, _VOCAB_FILES[mode])
     if not os.path.exists(path):
-        return None  # tests / synthetic runs: BiGRUEncoder falls back
+        if cfg.TPU.ALLOW_RANDOM_VOCAB:
+            import logging
+
+            logging.getLogger("PersonSearch.vocab").warning(
+                "Frozen vocab table %s is missing; TPU.ALLOW_RANDOM_VOCAB "
+                "substitutes a FIXED RANDOM table — synthetic runs only.",
+                path,
+            )
+            return None
+        raise FileNotFoundError(
+            f"MODEL.GRU.ONEHOT={mode!r} requires the frozen token-embedding "
+            f"table at {path} (see DATA.md). Check --root, or set "
+            f"TPU.ALLOW_RANDOM_VOCAB True to run with a random table "
+            f"(synthetic/smoke runs only)."
+        )
     return lambda: load_vocab_dict(root, mode)
