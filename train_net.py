@@ -11,6 +11,7 @@ groups (multi-process via ``jax.distributed.initialize`` when
 """
 
 import argparse
+import logging
 import os
 import random
 
@@ -60,6 +61,10 @@ def build_everything(cfg, logger):
         from textreid_tpu.solver.build import freeze_mask
 
         trainable_mask = freeze_mask(variables["params"])
+        logging.getLogger("PersonSearch.train").info(
+            "MODEL.FREEZE: visual stem+layers1-3 and the text tower are "
+            "frozen (reference resnet.py:229-233, gru.py:111-115)"
+        )
 
     tx = make_optimizer(cfg, variables["params"], trainable_mask)
     state = create_train_state(cfg, model, tx, jax.random.PRNGKey(cfg.SEED),
