@@ -4,6 +4,11 @@
 # run the flagship experiment. Preemption recovery = the checkpointer's
 # --resume-from contract (atomic orbax saves).
 #
+# STATUS: documentation/template — this script has never been executed in
+# this environment (no gcloud / no GCP project here); treat it as the
+# deployment recipe, not tested capability. The resume contract it relies
+# on IS tested (tests/test_train_smoke.py save/resume bit-equality).
+#
 # Usage: PROJECT=my-proj ZONE=us-central2-b ACCEL=v5litepod-8 ./deploy/launch_tpu_vm.sh
 set -euo pipefail
 
