@@ -29,7 +29,9 @@ def main():
     args = parser.parse_args()
 
     if os.environ.get("JAX_COORDINATOR"):
-        jax.distributed.initialize()
+        from textreid_tpu.utils.platform import distributed_initialize
+
+        distributed_initialize()
 
     import jax.numpy as jnp
 
@@ -109,6 +111,13 @@ def main():
             rerank=True,
             mesh=mesh,
         )
+
+    if jax.process_count() > 1:
+        # see train_net.py: exit-barrier so ranks do not race the
+        # coordination-service shutdown
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("test_net_exit")
 
 
 if __name__ == "__main__":

@@ -328,3 +328,39 @@ class TestFrozenVocabGuard:
         lengths = jnp.full((2,), 5, jnp.int32)
         with pytest.raises(ValueError, match="frozen token table"):
             enc.init(jax.random.PRNGKey(0), tokens, lengths)
+
+
+class TestProcessShardLoader:
+    """Per-host shard loading: the ranks' slices must concatenate to exactly
+    the unsharded loader's batches (same indices, same augmentation draws)."""
+
+    def _loader(self, synth_root, shard):
+        from textreid_tpu.data.loader import make_data_loader
+
+        cfg = get_default_cfg()
+        cfg.ROOT = str(synth_root)
+        cfg.DATASETS.TRAIN = ("cuhkpedes_train",)
+        cfg.SOLVER.IMS_PER_BATCH = 8
+        cfg.DATALOADER.IMS_PER_ID = 2
+        cfg.DATALOADER.NUM_WORKERS = 2
+        cfg.INPUT.HEIGHT, cfg.INPUT.WIDTH = 32, 16
+        cfg.INPUT.USE_AUG = True
+        cfg.INPUT.MAX_TEXT_LENGTH = 10
+        return make_data_loader(cfg, is_train=True, process_shard=shard)
+
+    def test_shards_concatenate_to_global_batches(self, synth_root):
+        full = list(iter(self._loader(synth_root, None)))
+        r0 = list(iter(self._loader(synth_root, (0, 2))))
+        r1 = list(iter(self._loader(synth_root, (1, 2))))
+        assert len(full) == len(r0) == len(r1)
+        for fb, a, b in zip(full, r0, r1):
+            for k in ("pixels", "token_ids", "lengths", "pids", "index",
+                      "erase"):
+                merged = np.concatenate([a[k], b[k]])
+                np.testing.assert_array_equal(merged, fb[k], err_msg=k)
+            assert a["pixels"].shape[0] == fb["pixels"].shape[0] // 2
+
+    def test_indivisible_batch_raises(self, synth_root):
+        loader = self._loader(synth_root, (0, 3))  # 8 % 3 != 0
+        with pytest.raises(ValueError, match="not divisible"):
+            next(iter(loader))

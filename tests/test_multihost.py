@@ -232,3 +232,87 @@ def test_two_process_eval_agrees():
     assert outs[0] == outs[1], outs
     r1 = float(outs[0].split("r1=")[1].split()[0])
     assert np.isfinite(r1) and 0.0 <= r1 <= 100.0
+
+
+WORKER_SHARDED_DATA = r"""
+import os, sys
+sys.path.insert(0, os.environ["REPO"])
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=os.environ["COORD"],
+    num_processes=2,
+    process_id=int(os.environ["PID_IDX"]),
+)
+import numpy as np
+import jax.numpy as jnp
+from textreid_tpu.config import get_default_cfg
+from textreid_tpu.engine import create_train_state, make_train_step
+from textreid_tpu.models import BiGRUEncoder, TextReIDModel
+from textreid_tpu.models.m_resnet import ModifiedResNet
+from textreid_tpu.parallel import make_mesh, replicate_state, shard_batch
+from textreid_tpu.parallel.mesh import shard_local_batch
+from textreid_tpu.solver import make_optimizer
+from textreid_tpu.solver.build import set_learning_rate
+
+assert jax.device_count() == 4
+rank = jax.process_index()
+
+cfg = get_default_cfg()
+cfg.SOLVER.OPTIMIZER = "SGD"
+cfg.MODEL.EMBEDDING.EMBED_HEAD = "moco"
+cfg.MODEL.EMBEDDING.FEATURE_SIZE = 32
+cfg.MODEL.MOCO.K = 8
+cfg.MODEL.MOCO.FC = False
+cfg.MODEL.NUM_CLASSES = 8
+
+model = TextReIDModel(
+    visual=ModifiedResNet(layers=(1, 1, 1, 1), output_dim=32, heads=4,
+                          last_stride=1, input_resolution=(32, 16), width=16),
+    textual=BiGRUEncoder(hidden_dim=16, vocab_size=50, embed_size=16),
+    feature_size=32, num_classes=8, embed_head="moco", moco_fc=False,
+)
+rng = np.random.RandomState(0)  # same GLOBAL batch on every process
+batch = {
+    "pixels": rng.randn(8, 32, 16, 3).astype(np.float32),
+    "token_ids": rng.randint(1, 50, (8, 10)).astype(np.int32),
+    "lengths": rng.randint(2, 10, (8,)).astype(np.int32),
+    "pids": rng.randint(0, 8, (8,)).astype(np.int32),
+}
+variables = model.init(
+    jax.random.PRNGKey(0), jnp.asarray(batch["pixels"]),
+    jnp.asarray(batch["token_ids"]), jnp.asarray(batch["lengths"]),
+    method="init_all",
+)
+tx = make_optimizer(cfg, variables["params"])
+state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batch)
+state = state.replace(opt_state=set_learning_rate(state.opt_state, 1e-3))
+
+mesh = make_mesh(4)
+state0 = replicate_state(state, mesh)
+step = jax.jit(make_train_step(model, tx, cfg))
+
+# path A: full global batch on every process (shard_batch)
+_, metrics_full = step(state0, shard_batch(dict(batch), mesh))
+
+# path B: per-process local slice only (shard_local_batch)
+local = {k: v[rank * 4 : (rank + 1) * 4] for k, v in batch.items()}
+_, metrics_shard = step(state0, shard_local_batch(local, mesh))
+
+lf = float(metrics_full["loss"])
+ls = float(metrics_shard["loss"])
+print(f"RESULT full={lf:.6f} sharded={ls:.6f}", flush=True)
+assert abs(lf - ls) < 1e-5, (lf, ls)
+"""
+
+
+def test_process_sharded_loading_matches_full_batch():
+    """shard_local_batch (each process supplies only its rows) must produce
+    the same global train step as every process shipping the full batch."""
+    try:
+        outs = _run_workers(WORKER_SHARDED_DATA)
+    except (RuntimeError, subprocess.TimeoutExpired):
+        outs = _run_workers(WORKER_SHARDED_DATA)
+    assert outs[0] == outs[1], outs

@@ -158,6 +158,10 @@ _C.TPU.REMAT = False
 # Raise on non-finite training losses at every log boundary (the jit-pure
 # analogue of torch anomaly detection; SURVEY 5.2).
 _C.TPU.DEBUG_NANS = False
+# Multi-host input sharding: each process decodes only its slice of every
+# global train batch (loader process_shard mode + shard_local_batch).
+# Active only when jax.process_count() > 1.
+_C.TPU.PROCESS_SHARD_DATA = True
 # Permit a FIXED RANDOM frozen vocab table when the .npy file is missing
 # (synthetic/smoke runs only). Off by default: a real run with a mistyped
 # --root must fail loudly, not train to garbage.

@@ -64,7 +64,16 @@ class DataLoader:
         pad_to_full: bool = False,
         num_workers: int = 4,
         seed: int = 0,
+        process_shard=None,
     ):
+        """``process_shard=(rank, world)`` turns this into a per-host shard
+        loader for multi-host training: batch *indices* are computed
+        globally (identical on every process — samplers are deterministic
+        in (seed, epoch)), but each process decodes only its contiguous
+        slice of every batch.  Feed the result through
+        ``parallel.mesh.shard_local_batch``.  This replaces the reference's
+        DistributedSampler per-rank split (build.py:45-46) without each
+        host paying the full global decode cost."""
         self.dataset = dataset
         self.batch_sampler = batch_sampler
         self.batch_size = batch_size
@@ -74,6 +83,7 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self._epoch = 0
         self._seed = seed
+        self.process_shard = process_shard
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
@@ -115,22 +125,39 @@ class DataLoader:
         with ThreadPoolExecutor(self.num_workers) as pool:
             # Per-sample futures; keep one batch in flight ahead of the
             # one being consumed (double-buffered host pipeline).
-            def submit_one(i):
+            def submit_one(i, pos=None):
                 if load is None:
                     return pool.submit(self.dataset.__getitem__, i)
                 # per-sample RNG: deterministic in (seed, epoch, position),
                 # independent of worker-thread scheduling
-                pos = next(counter)
+                if pos is None:
+                    pos = next(counter)
                 sample_seed = (self._seed * 1_000_003 + epoch * 97 + pos) % 2**31
                 return pool.submit(load, i, np.random.RandomState(sample_seed))
 
-            def submit(batch_idx):
+            def submit(bi, batch_idx):
                 idxs, valid = self._padded(batch_idx)
+                if self.process_shard is not None:
+                    rank, world = self.process_shard
+                    n = len(idxs)
+                    if n % world != 0:
+                        raise ValueError(
+                            f"Global batch {n} not divisible by "
+                            f"process count {world}"
+                        )
+                    ls = n // world
+                    rows = range(rank * ls, (rank + 1) * ls)
+                    # augmentation RNG keyed by GLOBAL position so the
+                    # decoded samples are identical to an unsharded run
+                    futs = [
+                        submit_one(idxs[r], pos=bi * n + r) for r in rows
+                    ]
+                    return futs, valid[rank * ls : (rank + 1) * ls]
                 return [submit_one(i) for i in idxs], valid
 
             pending = None
-            for batch_idx in batches:
-                nxt = submit(batch_idx)
+            for bi, batch_idx in enumerate(batches):
+                nxt = submit(bi, batch_idx)
                 if pending is not None:
                     futs, valid = pending
                     yield _collate([f.result() for f in futs], valid)
@@ -168,11 +195,18 @@ def build_dataset(cfg, dataset_names, transforms, is_train: bool):
     return [datasets[0] if len(datasets) == 1 else ConcatDataset(datasets)]
 
 
-def make_data_loader(cfg, is_train: bool = True, seed: Optional[int] = None):
+def make_data_loader(cfg, is_train: bool = True, seed: Optional[int] = None,
+                     process_shard=None):
     """Mirrors reference build.py:70-115.
 
     Returns a single loader for training, a list of loaders for eval.
     Batch sizes are *global*; device sharding happens at the jit boundary.
+
+    ``process_shard=(rank, world)`` makes the *train* loader decode only
+    this process's contiguous slice of every global batch (multi-host;
+    pair with ``parallel.mesh.shard_local_batch``).  Eval loaders always
+    produce full batches — eval is infrequent and its host-side metric
+    assembly needs the full index/pid arrays on every process.
     """
     seed = cfg.SEED if seed is None else seed
     transforms = build_transforms(cfg, is_train,
@@ -192,10 +226,12 @@ def make_data_loader(cfg, is_train: bool = True, seed: Optional[int] = None):
             return DataLoader(
                 dataset, batch_sampler=sampler,
                 num_workers=cfg.DATALOADER.NUM_WORKERS, seed=seed,
+                process_shard=process_shard,
             )
         return DataLoader(
             dataset, batch_size=batch_size, shuffle=True, drop_last=True,
             num_workers=cfg.DATALOADER.NUM_WORKERS, seed=seed,
+            process_shard=process_shard,
         )
 
     return [

@@ -42,11 +42,14 @@ class TrainState:
     queue_ptr: Optional[jnp.ndarray] = None
 
 
-def create_train_state(cfg, model, tx, rng, sample_batch) -> TrainState:
+def create_train_state(cfg, model, tx, rng, sample_batch,
+                       global_batch=None) -> TrainState:
     """Initialize model variables and (for MoCo) key copies + queues.
 
     ``sample_batch`` supplies shapes only; K %% global batch == 0 is enforced
-    like the reference's enqueue assert (head.py:103).
+    like the reference's enqueue assert (head.py:103).  Pass ``global_batch``
+    explicitly when ``sample_batch`` is a per-process shard (multi-host
+    process-sharded loading) — its leading dim is then local, not global.
     """
     # jitted init: unjitted flax init dispatches op-by-op on the device,
     # which is pathologically slow on remote/relay TPU backends.
@@ -75,7 +78,7 @@ def create_train_state(cfg, model, tx, rng, sample_batch) -> TrainState:
     if cfg.MODEL.EMBEDDING.EMBED_HEAD == "moco":
         k = cfg.MODEL.MOCO.K
         d = cfg.MODEL.EMBEDDING.FEATURE_SIZE
-        batch = sample_batch["pixels"].shape[0]
+        batch = global_batch or sample_batch["pixels"].shape[0]
         if k % batch != 0:
             raise ValueError(
                 f"MoCo queue size K={k} must be divisible by the global batch "

@@ -19,25 +19,31 @@ import logging
 import time
 import jax
 
-from ..parallel.mesh import replicate_state, shard_batch
+from ..parallel.mesh import replicate_state, shard_batch, shard_local_batch
 from ..solver.build import set_learning_rate
 from .inference import inference
 from .steps import make_train_step
 
 
-def device_prefetch(iterator, mesh=None, depth: int = 2):
+def device_prefetch(iterator, mesh=None, depth: int = 2,
+                    process_sharded: bool = False):
     """Keep ``depth`` batches resident on device ahead of consumption.
 
     XLA dispatch is async but ``device_put`` of host arrays is not free;
     staging the next batch's transfer while the current step executes hides
     host->device latency (the reference relies on DataLoader workers +
-    synchronous ``.to(device)``, trainer.py:78-79)."""
+    synchronous ``.to(device)``, trainer.py:78-79).
+
+    ``process_sharded=True`` means the iterator yields per-host shards (the
+    ``process_shard`` loader mode) to be stitched into global arrays."""
     import collections
 
     queue = collections.deque()
 
     def put(batch):
         batch.pop("valid", None)
+        if process_sharded and mesh is not None:
+            return shard_local_batch(batch, mesh)
         if mesh is not None:
             return shard_batch(batch, mesh)
         return {k: jax.device_put(v) for k, v in batch.items()}
@@ -99,7 +105,11 @@ def do_train(
         arguments["epoch"] = epoch
 
         log_period = max(1, int(cfg.SOLVER.LOG_PERIOD))
-        for step, batch in enumerate(device_prefetch(iter(data_loader), mesh)):
+        process_sharded = getattr(data_loader, "process_shard", None) is not None
+        for step, batch in enumerate(
+            device_prefetch(iter(data_loader), mesh,
+                            process_sharded=process_sharded)
+        ):
             data_time = time.time() - end
             iteration += 1
             arguments["iteration"] = iteration

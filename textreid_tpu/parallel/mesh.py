@@ -74,6 +74,23 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return out
 
 
+def shard_local_batch(local_batch: dict, mesh: Mesh) -> dict:
+    """Assemble a global batch-sharded array from *per-process* data.
+
+    Counterpart of :func:`shard_batch` for the per-host shard loader
+    (``data.loader.DataLoader(process_shard=...)``): each process supplies
+    only the rows its devices own, and JAX stitches them into one global
+    array without any host holding (or decoding) the full batch — the
+    scalable replacement for the reference's DistributedSampler
+    (build.py:45-46).
+    """
+    sharding = batch_sharding(mesh)
+    return {
+        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        for k, v in local_batch.items()
+    }
+
+
 def replicate_state(state, mesh: Mesh):
     sharding = replicated(mesh)
     return jax.device_put(state, sharding)

@@ -146,13 +146,25 @@ class Checkpointer:
         return os.path.join(self.save_dir, name)
 
     def save(self, name: str, state: Any, **kwargs) -> None:
-        if not self.save_dir or not self.save_to_disk:
+        """Save the state tree (+ a progress-kwargs sidecar).
+
+        Multi-process: orbax saves are COLLECTIVE (they barrier internally
+        before/after the primary-host write), so every process must enter
+        ``save`` — unlike the reference's rank-0-only ``torch.save``
+        (checkpoint.py:28-45).  The ``save_to_disk`` gate therefore only
+        applies single-process and to the host-side sidecar."""
+        if not self.save_dir:
+            return
+        collective = jax.process_count() > 1
+        if not collective and not self.save_to_disk:
             return
         path = self._path(name)
-        self.logger.info("Saving checkpoint to %s", path)
+        if self.save_to_disk:
+            self.logger.info("Saving checkpoint to %s", path)
         self._ckptr.save(path, jax.device_get(state), force=True)
-        with open(path + ".meta.json", "w") as f:
-            json.dump(kwargs, f)
+        if self.save_to_disk:
+            with open(path + ".meta.json", "w") as f:
+                json.dump(kwargs, f)
 
     WEIGHT_FIELDS = ("params", "batch_stats", "constants", "key_params",
                      "key_batch_stats")

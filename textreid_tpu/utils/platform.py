@@ -29,3 +29,26 @@ def compute_dtype(cfg):
     name = (cfg.TPU.COMPUTE_DTYPE if jax.default_backend() == "tpu"
             else cfg.DTYPE)
     return jnp.bfloat16 if name == "bfloat16" else jnp.float32
+
+
+def distributed_initialize() -> None:
+    """``jax.distributed.initialize`` with explicit env-var fallbacks.
+
+    Auto-detection covers TPU pods / managed clusters; for manual multi-host
+    launches (the analogue of the reference's ``env://`` NCCL rendezvous,
+    train_net.py:151-154) the coordinator/process topology comes from
+    ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``.
+    """
+    import jax
+
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if addr and nproc is not None and pid is not None:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
+    else:
+        jax.distributed.initialize()

@@ -34,7 +34,17 @@ def build_everything(cfg, logger):
     from textreid_tpu.solver import make_lr_schedule, make_optimizer
     from textreid_tpu.utils.vocab import frozen_table_initializer
 
-    data_loader = make_data_loader(cfg, is_train=True)
+    process_shard = None
+    if cfg.TPU.PROCESS_SHARD_DATA and jax.process_count() > 1:
+        process_shard = (jax.process_index(), jax.process_count())
+        logger.info(
+            "Per-host input sharding: process %d/%d decodes %d of %d "
+            "images per batch", process_shard[0], process_shard[1],
+            cfg.SOLVER.IMS_PER_BATCH // process_shard[1],
+            cfg.SOLVER.IMS_PER_BATCH,
+        )
+    data_loader = make_data_loader(cfg, is_train=True,
+                                   process_shard=process_shard)
     data_loader_val = make_data_loader(cfg, is_train=False)
 
     from textreid_tpu.utils.platform import compute_dtype
@@ -68,7 +78,7 @@ def build_everything(cfg, logger):
 
     tx = make_optimizer(cfg, variables["params"], trainable_mask)
     state = create_train_state(cfg, model, tx, jax.random.PRNGKey(cfg.SEED),
-                               sample)
+                               sample, global_batch=cfg.SOLVER.IMS_PER_BATCH)
 
     mesh = make_mesh(cfg.TPU.DATA_PARALLEL) if jax.device_count() > 1 else None
     lr_schedule = make_lr_schedule(cfg)
@@ -215,7 +225,9 @@ def main():
     args = parser.parse_args()
 
     if os.environ.get("JAX_COORDINATOR"):
-        jax.distributed.initialize()
+        from textreid_tpu.utils.platform import distributed_initialize
+
+        distributed_initialize()
 
     from textreid_tpu.config import get_default_cfg
     from textreid_tpu.utils import makedir, setup_logger
@@ -245,6 +257,15 @@ def main():
     logger.info("Running with config:\n%s", cfg)
 
     train(cfg, output_dir, args.resume_from, args.use_tensorboard)
+
+    if jax.process_count() > 1:
+        # All processes reach the end before any interpreter tears down the
+        # coordination service (the reference's synchronize() analogue,
+        # lib/utils/comm.py:32-44) — otherwise exits race the shutdown
+        # barrier and non-primary ranks abort noisily.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("train_net_exit")
 
 
 if __name__ == "__main__":
