@@ -66,15 +66,7 @@ def _gru_scan_kernel(x_gates_hbm, w_h_ref, h0_ref, out_hbm, h_scratch,
 
         in_dma(slot, t).wait()
 
-        h = h_scratch[:]
-        xg = xg_scratch[slot]
-        hg = jnp.dot(h, w_h_ref[:], preferred_element_type=jnp.float32)
-        r = jax.nn.sigmoid(xg[:, :hidden] + hg[:, :hidden])
-        z = jax.nn.sigmoid(
-            xg[:, hidden : 2 * hidden] + hg[:, hidden : 2 * hidden]
-        )
-        n = jnp.tanh(xg[:, 2 * hidden :] + r * hg[:, 2 * hidden :])
-        h_new = (1.0 - z) * n + z * h
+        h_new = _gru_cell(xg_scratch[slot], h_scratch[:], w_h_ref, hidden)
         h_scratch[:] = h_new
 
         # Write h_new out through the slot's staging buffer; reclaim the
@@ -191,51 +183,58 @@ def gru_scan_auto(x_gates_btg: jax.Array, w_h: jax.Array, h0: jax.Array,
 # Fused bidirectional scan + masked max-over-time pooling
 # ---------------------------------------------------------------------------
 
+def _sigmoid_same_dtype(x):
+    """sigmoid without f32 literals: Mosaic mis-lowers jax.nn.sigmoid's
+    internal f32 constants into bf16 vectors ('vector.broadcast' element
+    type mismatch); keeping every constant in x.dtype avoids it."""
+    one = jnp.asarray(1.0, x.dtype)
+    return one / (one + jnp.exp(-x))
+
+
 def _gru_cell(xg, h, w_ref, hidden):
     hg = jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32).astype(h.dtype)
-    r = jax.nn.sigmoid(xg[:, :hidden] + hg[:, :hidden])
-    z = jax.nn.sigmoid(xg[:, hidden : 2 * hidden] + hg[:, hidden : 2 * hidden])
+    one = jnp.asarray(1.0, h.dtype)
+    r = _sigmoid_same_dtype(xg[:, :hidden] + hg[:, :hidden])
+    z = _sigmoid_same_dtype(xg[:, hidden : 2 * hidden] + hg[:, hidden : 2 * hidden])
     n = jnp.tanh(xg[:, 2 * hidden :] + r * hg[:, 2 * hidden :])
-    return (1.0 - z) * n + z * h
+    return (one - z) * n + z * h
 
 
-def _bigru_pooled_kernel(xf_hbm, xb_hbm, w_f_ref, w_b_ref, len_ref,
-                         pooled_ref, hf, hb, mf, mb, xf_buf, xb_buf,
-                         f_sem, b_sem):
+def _bigru_pooled_kernel(x_hbm, w_f_ref, w_b_ref, len_ref,
+                         pooled_ref, hf, hb, mf, mb, x_buf, in_sem):
     """Both directions per step (two independent recurrent chains hide each
     other's latency), running masked max over valid positions, no per-step
-    HBM writes at all."""
-    seq_len = xf_hbm.shape[0]
+    HBM writes at all.  The two directions' input gates arrive concatenated
+    ([T, B, 6H]) so each step costs exactly ONE double-buffered DMA."""
+    seq_len = x_hbm.shape[0]
     hidden = hf.shape[-1]
 
-    def f_dma(slot, t):
-        return pltpu.make_async_copy(xf_hbm.at[t], xf_buf.at[slot], f_sem.at[slot])
-
-    def b_dma(slot, t):
-        return pltpu.make_async_copy(xb_hbm.at[t], xb_buf.at[slot], b_sem.at[slot])
+    def in_dma(slot, t):
+        return pltpu.make_async_copy(x_hbm.at[t], x_buf.at[slot], in_sem.at[slot])
 
     zero = jnp.zeros_like(hf)
     hf[:] = zero
     hb[:] = zero
-    neg = jnp.full_like(mf, -jnp.inf)
+    # GRU hidden states are tanh-bounded in (-1, 1) (h' is a convex mix of
+    # tanh(n) and the previous h, h0 = 0), so -2 is a safe "-inf" for the
+    # running max — and avoids a Mosaic bf16 lowering bug with inf consts.
+    neg = jnp.full(mf.shape, -2.0, mf.dtype)
     mf[:] = neg
     mb[:] = neg
-    f_dma(0, 0).start()
-    b_dma(0, 0).start()
+    in_dma(0, 0).start()
 
     def step(t, _):
         slot = t % 2
 
         @pl.when(t + 1 < seq_len)
         def _():
-            f_dma((t + 1) % 2, t + 1).start()
-            b_dma((t + 1) % 2, t + 1).start()
+            in_dma((t + 1) % 2, t + 1).start()
 
-        f_dma(slot, t).wait()
-        b_dma(slot, t).wait()
+        in_dma(slot, t).wait()
 
-        new_hf = _gru_cell(xf_buf[slot], hf[:], w_f_ref, hidden)
-        new_hb = _gru_cell(xb_buf[slot], hb[:], w_b_ref, hidden)
+        xg = x_buf[slot]
+        new_hf = _gru_cell(xg[:, : 3 * hidden], hf[:], w_f_ref, hidden)
+        new_hb = _gru_cell(xg[:, 3 * hidden :], hb[:], w_b_ref, hidden)
         hf[:] = new_hf
         hb[:] = new_hb
 
@@ -256,12 +255,12 @@ def _bigru_pooled_pallas(xf_tbg, xb_tbg, w_f, w_b, lengths,
     hidden = three_h // 3
     dtype = xf_tbg.dtype
     len_2d = lengths.reshape(batch, 1).astype(jnp.int32)
+    x_cat = jnp.concatenate([xf_tbg, xb_tbg], axis=-1)  # [T, B, 6H]
     return pl.pallas_call(
         _bigru_pooled_kernel,
         out_shape=jax.ShapeDtypeStruct((batch, 2 * hidden), dtype),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xf in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # xb in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # gates in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w_f resident
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w_b resident
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lengths [B, 1]
@@ -272,13 +271,11 @@ def _bigru_pooled_pallas(xf_tbg, xb_tbg, w_f, w_b, lengths,
             pltpu.VMEM((batch, hidden), dtype),  # h bwd
             pltpu.VMEM((batch, hidden), dtype),  # running max fwd
             pltpu.VMEM((batch, hidden), dtype),  # running max bwd
-            pltpu.VMEM((2, batch, three_h), dtype),  # fwd in dbl-buffer
-            pltpu.VMEM((2, batch, three_h), dtype),  # bwd in dbl-buffer
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, batch, 2 * three_h), dtype),  # in dbl-buffer
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xf_tbg, xb_tbg, w_f, w_b, len_2d)
+    )(x_cat, w_f, w_b, len_2d)
 
 
 def _xla_pooled_forward(xf_tbg, xb_tbg, w_f, w_b, lengths):
