@@ -117,8 +117,11 @@ def _timed_loop(fn, args, iters=10):
     @jax.jit
     def loop(*a):
         def body(_, c):
-            out = fn(*(x + c if jnp.issubdtype(jnp.asarray(x).dtype,
-                                               jnp.floating) else x
+            # perturb each float arg in ITS OWN dtype — adding an f32 carry
+            # to a bf16 array silently upcasts the whole op to f32
+            out = fn(*(x + c.astype(x.dtype)
+                       if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                       else x
                        for x in a))
             leaf = jax.tree.leaves(out)[0]
             return (leaf.ravel()[0] * 1e-30).astype(jnp.float32)

@@ -65,7 +65,7 @@ def main():
     from textreid_tpu.utils.platform import compute_dtype
 
     dtype = compute_dtype(cfg)
-    use_pallas = bool(cfg.TPU.USE_PALLAS) and jax.default_backend() == "tpu"
+    use_pallas = bool(cfg.TPU.GRU_PALLAS) and jax.default_backend() == "tpu"
     model = build_model(cfg, frozen_table_initializer(cfg), dtype=dtype,
                         use_pallas=use_pallas)
 

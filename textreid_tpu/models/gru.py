@@ -85,15 +85,27 @@ def gru_scan(
     return jnp.swapaxes(ys, 0, 1)  # [B, T, H]
 
 
-def masked_max_pool(x: Array, lengths: Array) -> Array:
+def masked_max_pool(x: Array, lengths: Array, mode: str = "batch") -> Array:
     """Max over valid time steps with torch pad-packed semantics
     (reference gru.py:62-64): positions ``t >= len_b`` are excluded, and a
     zero additionally participates for every sample shorter than the *batch*
-    max length (pad_packed_sequence pads to the batch max, filling zeros)."""
+    max length (pad_packed_sequence pads to the batch max, filling zeros).
+
+    ``mode="batch"`` reproduces that exactly — which makes the embedding
+    depend on the batch composition, just like the reference.  Serving
+    needs packing-invariant embeddings, so ``mode="always"`` lets the zero
+    participate for every sample with any padded position (equivalent for
+    the overwhelmingly common case where the sample is shorter than the
+    padded grid, and independent of what else is in the batch)."""
     seq = x.shape[1]
     valid = (jnp.arange(seq)[None, :] < lengths[:, None])[..., None]
     m = jnp.max(jnp.where(valid, x, -jnp.inf), axis=1)  # [B, C]
-    has_pad = (lengths < jnp.max(lengths))[:, None]
+    if mode == "batch":
+        has_pad = (lengths < jnp.max(lengths))[:, None]
+    elif mode == "always":
+        has_pad = (lengths < seq)[:, None]
+    else:
+        raise ValueError(f"Unknown pool mode: {mode}")
     return jnp.where(has_pad, jnp.maximum(m, 0.0), m)
 
 
@@ -134,6 +146,10 @@ class BiGRUEncoder(nn.Module):
     # Inter-layer dropout (torch GRU semantics: between layers only,
     # 1 - DROPOUT_KEEP_PROB); no-op with a single layer.
     dropout_rate: float = 0.0
+    # Max-pool zero-participation rule: "batch" = torch pad-packed parity
+    # (batch-composition-dependent, like the reference); "always" =
+    # packing-invariant (serving). See masked_max_pool.
+    pool_mode: str = "batch"
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -231,7 +247,8 @@ class BiGRUEncoder(nn.Module):
                 wi_b, wh_b = direction_weights("bwd", layer, layer_in.shape[-1])
                 xg_f = input_gates(layer_in, wi_f)
                 xg_b = input_gates(reverse_padded(layer_in, lengths), wi_b)
-                return bigru_pooled_scan(xg_f, xg_b, wh_f, wh_b, lengths)
+                return bigru_pooled_scan(xg_f, xg_b, wh_f, wh_b, lengths,
+                                         pool_mode=self.pool_mode)
 
             out_fwd = run_direction(layer_in, "fwd", layer)
             if self.bidirectional:
@@ -254,7 +271,7 @@ class BiGRUEncoder(nn.Module):
         # samples shorter than the longest one in their batch — the longest
         # sample keeps genuinely negative channels.  (Caught by running the
         # actual reference code as an oracle, tests/test_reference_oracle.py.)
-        return masked_max_pool(layer_in, lengths)
+        return masked_max_pool(layer_in, lengths, self.pool_mode)
 
 
 def build_bigru(cfg, frozen_table_init=None,

@@ -25,6 +25,14 @@ bidirectional case: both directions run interleaved in ONE kernel (two
 independent recurrent chains hide each other's latency) and the masked
 max-over-time pooling is fused in, so the [T, B, H] per-step outputs are
 never written to HBM at all — the kernel emits just the pooled [B, 2H].
+
+Measured decision (v5e, [T=105, B=128, H=512] bf16, bench.py --stages):
+the fused kernel beats the XLA scan pair at the primitive level (1.85 vs
+2.08 ms) but the scan is latency-bound, and at the full-module level the
+gate-concat/transpose overhead inverts the ordering (3.65 vs 2.93 ms).
+The XLA scan is therefore the DEFAULT text-tower recurrence
+(``TPU.GRU_PALLAS`` opts into this kernel); both paths stay tested and
+benchmarked.
 """
 
 from __future__ import annotations
@@ -278,7 +286,8 @@ def _bigru_pooled_pallas(xf_tbg, xb_tbg, w_f, w_b, lengths,
     )(x_cat, w_f, w_b, len_2d)
 
 
-def _xla_pooled_forward(xf_tbg, xb_tbg, w_f, w_b, lengths):
+def _xla_pooled_forward(xf_tbg, xb_tbg, w_f, w_b, lengths,
+                        pool_mode: str = "batch"):
     """Mathematical definition (differentiable): two XLA scans + masked
     max-over-time with torch pad-packed semantics (gru.py:62-64 — zeros
     participate only for samples shorter than the batch max length; see
@@ -290,18 +299,23 @@ def _xla_pooled_forward(xf_tbg, xb_tbg, w_f, w_b, lengths):
     cat = jnp.concatenate([out_f, out_b], axis=-1)  # [T, B, 2H]
     valid = (jnp.arange(seq)[:, None] < lengths[None, :])[..., None]
     m = jnp.max(jnp.where(valid, cat, -jnp.inf), axis=0)  # [B, 2H]
-    has_pad = (lengths < jnp.max(lengths))[:, None]
+    if pool_mode == "batch":
+        has_pad = (lengths < jnp.max(lengths))[:, None]
+    else:  # "always"
+        has_pad = (lengths < seq)[:, None]
     return jnp.where(has_pad, jnp.maximum(m, 0.0), m)
 
 
 def bigru_pooled_scan(xf_btg, xb_btg, w_f, w_b, lengths,
-                      interpret: bool = False):
+                      interpret: bool = False, pool_mode: str = "batch"):
     """Fused 1-layer bi-GRU: scan both directions and max-pool over valid
     time steps in one kernel.  ``xb_btg`` must be the per-sample reversed
     input gates (models.gru.reverse_padded of the embedded sequence).
+    ``pool_mode`` follows models.gru.masked_max_pool.
 
     Differentiable: the backward pass differentiates the bit-identical XLA
     formulation (one recompute).  Returns [B, 2H]."""
+    seq = xf_btg.shape[1]
 
     @jax.custom_vjp
     def run(xf, xb, w_f, w_b):
@@ -309,10 +323,12 @@ def bigru_pooled_scan(xf_btg, xb_btg, w_f, w_b, lengths,
         xb_t = jnp.swapaxes(xb, 0, 1)
         pooled = _bigru_pooled_pallas(xf_t, xb_t, w_f, w_b, lengths,
                                       interpret=interpret)
-        # kernel maxes over valid steps only; torch pad-packed semantics
-        # additionally let 0 participate for samples shorter than the batch
-        # max length (models.gru.masked_max_pool)
-        has_pad = (lengths < jnp.max(lengths))[:, None]
+        # kernel maxes over valid steps only; the zero-participation rule
+        # is applied outside (models.gru.masked_max_pool semantics)
+        if pool_mode == "batch":
+            has_pad = (lengths < jnp.max(lengths))[:, None]
+        else:  # "always"
+            has_pad = (lengths < seq)[:, None]
         return jnp.where(has_pad, jnp.maximum(pooled, 0.0), pooled)
 
     def fwd(xf, xb, w_f, w_b):
@@ -322,7 +338,8 @@ def bigru_pooled_scan(xf_btg, xb_btg, w_f, w_b, lengths,
         xf, xb, w_f, w_b = residuals
         _, vjp = jax.vjp(
             lambda a, b, wf, wb: _xla_pooled_forward(
-                jnp.swapaxes(a, 0, 1), jnp.swapaxes(b, 0, 1), wf, wb, lengths
+                jnp.swapaxes(a, 0, 1), jnp.swapaxes(b, 0, 1), wf, wb, lengths,
+                pool_mode,
             ),
             xf, xb, w_f, w_b,
         )

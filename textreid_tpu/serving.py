@@ -35,6 +35,15 @@ class RetrievalIndex:
         use_pallas: Optional[bool] = None,
         quantize: bool = False,
     ):
+        # Serving requires packing-invariant text embeddings: the training/
+        # eval encoder reproduces torch's pad-packed max-pool, which depends
+        # on the batch max length — fine for parity, wrong for a service
+        # whose results must not change with how queries pack into batches.
+        # Swap the text tower to the "always" zero-participation rule
+        # (models.gru.masked_max_pool); parameters are unchanged.
+        textual = getattr(model, "textual", None)
+        if textual is not None and getattr(textual, "pool_mode", None) == "batch":
+            model = model.clone(textual=textual.clone(pool_mode="always"))
         self.model = model
         self.state = state
         self.query_batch = query_batch
