@@ -107,10 +107,18 @@ def bench_train_step():
     print(json.dumps(result))
 
 
-def _timed_loop(fn, args, iters=10):
+def _timed_loop(fn, args, iters=200):
     """Honest on-device timing through the relay: repeat the op inside ONE
     jitted fori_loop with a real data dependency between iterations (so XLA
-    cannot hoist it), and divide the wall-clock of the single dispatch."""
+    cannot hoist it), and divide the wall-clock of the single dispatch.
+
+    Two measured traps this design guards against (the relay lies):
+    * every dispatch carries ~25 ms of fixed relay overhead, so sub-ms ops
+      need iters >= 200 to amortize it below the noise;
+    * the inter-iteration dependency must consume EVERY output element
+      (jnp.sum) in the op's OWN dtype — a single-element dependency lets
+      XLA slice-propagate away most of the computation, and an f32 carry
+      added to bf16 inputs upcasts the whole op."""
     import jax
     import jax.numpy as jnp
 
@@ -124,7 +132,10 @@ def _timed_loop(fn, args, iters=10):
                        else x
                        for x in a))
             leaf = jax.tree.leaves(out)[0]
-            return (leaf.ravel()[0] * 1e-30).astype(jnp.float32)
+            # consume EVERY output element: depending on a single element
+            # lets XLA slice-propagate and prune most of the computation
+            return (jnp.sum(leaf.astype(jnp.float32)) * 1e-30).astype(
+                jnp.float32)
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
@@ -154,7 +165,7 @@ def bench_stages():
     vvars = jax.jit(lambda: visual.init(jax.random.PRNGKey(0), pixels))()
     jax.block_until_ready(vvars)
     report["visual_fwd_ms"] = _timed_loop(
-        lambda x: visual.apply(vvars, x), (pixels,)) * 1000
+        lambda x: visual.apply(vvars, x), (pixels,), iters=50) * 1000
 
     # attention pool alone at the RN50 grid ([B, 12, 4, 2048])
     pool = AttentionPool2d(spacial_dim=(12, 4), embed_dim=2048, num_heads=32,

@@ -145,12 +145,13 @@ _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # Use Pallas kernels for the hot ops where available (falls back silently
 # to pure-XLA paths on CPU).
 _C.TPU.USE_PALLAS = True
-# Text-tower recurrence on the fused Pallas kernel. Default OFF after
-# measurement (v5e, [B=128,H=512,T=105] bf16): the fused kernel wins at the
-# primitive level (1.85 vs 2.08 ms) but the full module is latency-bound
-# and the gate-concat/transpose overhead inverts it (3.65 vs 2.93 ms) —
-# the XLA scan is the better default; the kernel remains available and
-# benchmarked (bench.py --stages).
+# Text-tower recurrence on the fused Pallas kernel. Measured on the v5e at
+# [B=128,H=512,T=105] bf16 with overhead-amortized in-jit timing, the two
+# paths are indistinguishable (~0.15 ms full-module either way — the text
+# tower is a rounding error next to the conv trunk). The XLA scan is the
+# default for simplicity/portability; the kernel stays available and
+# benchmarked (bench.py --stages) and avoids the [T,B,H] per-step HBM
+# writes, which may matter under HBM contention at much larger batches.
 _C.TPU.GRU_PALLAS = False
 # Ship uint8 pixels and fuse /255 -> normalize -> random-erase fill into the
 # jitted device step (4x less host->device traffic than f32). False restores

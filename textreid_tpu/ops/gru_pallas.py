@@ -26,13 +26,12 @@ independent recurrent chains hide each other's latency) and the masked
 max-over-time pooling is fused in, so the [T, B, H] per-step outputs are
 never written to HBM at all — the kernel emits just the pooled [B, 2H].
 
-Measured decision (v5e, [T=105, B=128, H=512] bf16, bench.py --stages):
-the fused kernel beats the XLA scan pair at the primitive level (1.85 vs
-2.08 ms) but the scan is latency-bound, and at the full-module level the
-gate-concat/transpose overhead inverts the ordering (3.65 vs 2.93 ms).
-The XLA scan is therefore the DEFAULT text-tower recurrence
-(``TPU.GRU_PALLAS`` opts into this kernel); both paths stay tested and
-benchmarked.
+Measured decision (v5e, [T=105, B=128, H=512] bf16, bench.py --stages,
+overhead-amortized timing): full-module latency is ~0.15 ms on EITHER
+path — the scan is latency-bound and the text tower is a rounding error
+next to the conv trunk, so the XLA scan stays the DEFAULT for simplicity
+(``TPU.GRU_PALLAS`` opts into this kernel). The kernel's remaining edge
+is traffic, not latency: no [T, B, H] per-step HBM writes.
 """
 
 from __future__ import annotations
