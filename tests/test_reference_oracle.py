@@ -141,21 +141,22 @@ def our_state_from_reference(cfg, ref_model):
         {"params": converted["params"],
          "batch_stats": converted["batch_stats"]},
     )
-    key_merged = merge_pretrained(
-        {"params": state.key_params, "batch_stats": state.key_batch_stats},
-        {"params": converted["key_params"],
-         "batch_stats": converted["key_batch_stats"]},
-    )
-    state = state.replace(
-        params=merged["params"],
-        batch_stats=merged["batch_stats"],
-        key_params=key_merged["params"],
-        key_batch_stats=key_merged["batch_stats"],
-        v_queue=jnp.asarray(converted["v_queue"]),
-        t_queue=jnp.asarray(converted["t_queue"]),
-        id_queue=jnp.asarray(converted["id_queue"]),
-        queue_ptr=jnp.asarray(converted["queue_ptr"]),
-    )
+    state = state.replace(params=merged["params"],
+                          batch_stats=merged["batch_stats"])
+    if "key_params" in converted:  # MoCo head only
+        key_merged = merge_pretrained(
+            {"params": state.key_params, "batch_stats": state.key_batch_stats},
+            {"params": converted["key_params"],
+             "batch_stats": converted["key_batch_stats"]},
+        )
+        state = state.replace(
+            key_params=key_merged["params"],
+            key_batch_stats=key_merged["batch_stats"],
+            v_queue=jnp.asarray(converted["v_queue"]),
+            t_queue=jnp.asarray(converted["t_queue"]),
+            id_queue=jnp.asarray(converted["id_queue"]),
+            queue_ptr=jnp.asarray(converted["queue_ptr"]),
+        )
     return model, tx, state
 
 
@@ -398,3 +399,99 @@ class TestTrainParity:
                     err_msg=f"step {i} {k}: ours={ours} ref={refs}")
         logging.getLogger("PersonSearch.oracle").info(
             "train parity: ours=%s ref=%s", our_losses, ref_losses)
+
+
+class TestSimpleHeadParity:
+    """The baseline (simple-head) family through the same oracle: full eval
+    and train steps against the reference SimpleHead + LossComputation
+    (simple_head/head.py:33-47, loss.py:22-45)."""
+
+    @pytest.fixture(scope="class")
+    def simple_env(self, oracle_env):
+        cfg = oracle_env["cfg"].clone()
+        cfg.MODEL.EMBEDDING.EMBED_HEAD = "simple"
+        ref_model = build_reference_model(cfg)  # reuses the fake RN50.pt
+        return {"cfg": cfg, "ref_model": ref_model}
+
+    def test_eval_pipeline_matches(self, simple_env, tmp_path):
+        cfg, ref_model = simple_env["cfg"], simple_env["ref_model"]
+        install_reference_shims()
+        from lib.data.build import make_data_loader as ref_make_data_loader
+        from lib.engine.inference import inference as ref_inference
+
+        ref_out = str(tmp_path / "ref_out")
+        os.makedirs(ref_out)
+        ref_loaders = ref_make_data_loader(cfg, is_train=False)
+        ref_top1 = ref_inference(
+            ref_model, ref_loaders[0], device="cpu", output_folder=ref_out,
+            save_data=True, rerank=True,
+        )
+        ref_npz = np.load(os.path.join(ref_out, "inference_data.npz"))
+
+        model, _, state = our_state_from_reference(cfg, ref_model)
+        our_loader = make_data_loader(cfg, is_train=False)[0]
+        our_out = str(tmp_path / "our_out")
+        os.makedirs(our_out)
+        top1 = inference(model, state, our_loader, output_folder=our_out,
+                         save_data=True, rerank=True)
+        our_npz = np.load(os.path.join(our_out, "inference_data.npz"))
+        np.testing.assert_allclose(
+            our_npz["similarity"], ref_npz["similarity"], atol=2e-3)
+        np.testing.assert_allclose(float(top1), float(ref_top1), atol=3.2)
+
+    def test_train_steps_match(self, simple_env):
+        cfg = simple_env["cfg"]
+        install_reference_shims()
+        from lib.solver import make_lr_scheduler as ref_make_lr_scheduler
+        from lib.solver import make_optimizer as ref_make_optimizer
+
+        ref_model = copy.deepcopy(simple_env["ref_model"])
+        rng = np.random.RandomState(21)
+        steps = 3
+        batches = []
+        for _ in range(steps):
+            n_tok = rng.randint(3, 12, size=BATCH)
+            token_ids = np.zeros((BATCH, cfg.INPUT.MAX_TEXT_LENGTH), np.int32)
+            for i, n in enumerate(n_tok):
+                token_ids[i, :n] = rng.randint(1, VOCAB_ROWS, size=n)
+            batches.append({
+                "pixels": rng.randn(BATCH, cfg.INPUT.HEIGHT,
+                                    cfg.INPUT.WIDTH, 3).astype(np.float32),
+                "token_ids": token_ids,
+                "lengths": n_tok.astype(np.int32),
+                "pids": rng.randint(0, N_IDS, size=BATCH).astype(np.int32),
+            })
+
+        ref_model.train()
+        optimizer = ref_make_optimizer(cfg, ref_model)
+        ref_make_lr_scheduler(cfg, optimizer)
+        ref_losses = []
+        for b in batches:
+            images = torch.from_numpy(
+                np.transpose(b["pixels"], (0, 3, 1, 2))).contiguous()
+            captions = reference_caption_batch(
+                [row[:n] for row, n in zip(b["token_ids"], b["lengths"])],
+                cfg.INPUT.MAX_TEXT_LENGTH,
+            )
+            for cap, pid in zip(captions, b["pids"]):
+                cap.add_field("id", torch.tensor(int(pid)))
+            loss_dict = ref_model(images, captions)
+            total = sum(loss_dict.values())
+            optimizer.zero_grad()
+            total.backward()
+            optimizer.step()
+            ref_losses.append({k: float(v) for k, v in loss_dict.items()})
+
+        model, tx, state = our_state_from_reference(
+            cfg, simple_env["ref_model"])
+        lr0 = make_lr_schedule(cfg)(0)
+        state = state.replace(opt_state=set_learning_rate(state.opt_state, lr0))
+        step_fn = jax.jit(make_train_step(model, tx, cfg))
+        step_rtol = [1.5e-3, 8e-3, 2.5e-2]
+        for i, b in enumerate(batches):
+            state, metrics = step_fn(state, b)
+            for k in ("instance_loss", "global_align_loss"):
+                np.testing.assert_allclose(
+                    float(metrics[k]), ref_losses[i][k],
+                    rtol=step_rtol[i], atol=1e-3,
+                    err_msg=f"step {i} {k}")
