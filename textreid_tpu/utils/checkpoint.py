@@ -50,6 +50,8 @@ def align_pytree(
     loaded: Any,
     logger: Optional[logging.Logger] = None,
     label: str = "",
+    min_cover: float = 0.5,
+    stats: Optional[dict] = None,
 ) -> Any:
     """Longest-suffix key alignment of ``loaded`` onto ``target``'s tree.
 
@@ -60,6 +62,15 @@ def align_pytree(
     path is the longest component-wise suffix of it (or vice versa) wins,
     provided shapes agree; unmatched leaves keep their current (init) values
     with a warning instead of failing the load.
+
+    ``min_cover`` bounds the collision surface (advisor finding, round 2):
+    a partial suffix match is only accepted when it covers at least that
+    fraction of BOTH paths, so a short ``conv1/kernel`` suffix cannot alias
+    a loaded leaf onto an unrelated deep module whose names happen to
+    coincide.  Full matches of the shorter path (the DDP ``module.``
+    wrapper case) are always accepted.  ``stats``, when given, is filled
+    with ``{"matched": n, "total": n}`` so callers can refuse loads that
+    aligned nothing.
     """
     logger = logger or logging.getLogger("PersonSearch.checkpoint")
     t_flat = _flatten(target)
@@ -73,6 +84,7 @@ def align_pytree(
 
     out: Dict[Tuple[str, ...], Any] = {}
     unmatched = []
+    n_matched = 0
     for path, cur in t_flat.items():
         candidates, best_len = [], 0
         for lpath in l_flat:
@@ -82,14 +94,19 @@ def align_pytree(
             elif n == best_len and n > 0:
                 candidates.append(lpath)
         # Accept the match iff it is unique at the max suffix length and
-        # either spans >=2 path components (a renamed parent module) or is a
-        # full match of the shorter path (the reference's endswith rule,
-        # which covers the DDP "module." wrapper case).  A bare leaf-name
-        # tie ("kernel") is ambiguous and must not randomly alias weights.
+        # either is a full match of the shorter path (the reference's
+        # endswith rule, which covers the DDP "module." wrapper case) or
+        # spans >=2 path components covering >= min_cover of both paths (a
+        # renamed parent module).  A bare leaf-name tie ("kernel") is
+        # ambiguous and must not randomly alias weights.
         best = None
         if len(candidates) == 1 and best_len > 0:
             lpath = candidates[0]
-            if best_len >= 2 or best_len == min(len(path), len(lpath)):
+            if best_len == min(len(path), len(lpath)) or (
+                best_len >= 2
+                and best_len >= min_cover * len(path)
+                and best_len >= min_cover * len(lpath)
+            ):
                 best = lpath
         if best is None:
             unmatched.append(path)
@@ -107,10 +124,12 @@ def align_pytree(
             out[path] = cur
             continue
         if best != path:
-            logger.info(
+            # cross-name aliasing is load-bearing information, not detail
+            logger.warning(
                 "align%s: %s loaded from %s",
                 f"[{label}]" if label else "", "/".join(path), "/".join(best),
             )
+        n_matched += 1
         out[path] = leaf
     if unmatched:
         logger.warning(
@@ -118,6 +137,9 @@ def align_pytree(
             f"[{label}]" if label else "", len(unmatched),
             ", ".join("/".join(p) for p in unmatched[:10]),
         )
+    if stats is not None:
+        stats["matched"] = stats.get("matched", 0) + n_matched
+        stats["total"] = stats.get("total", 0) + len(t_flat)
     return _unflatten(out)
 
 
@@ -176,11 +198,15 @@ class Checkpointer:
         A checkpoint whose tree does not match ``state`` exactly (renamed
         module, partial save, older revision) falls back to longest-suffix
         key alignment — the reference's tolerant-load contract
-        (`lib/utils/checkpoint.py:90-148`) — instead of failing.
+        (`lib/utils/checkpoint.py:90-148`) — instead of failing.  Only
+        structure/shape mismatches take that fallback; I/O errors and
+        missing checkpoints propagate (a corrupted file must not silently
+        degrade into a near-initialization state — advisor finding, r2).
         """
         try:
             restored = self._restore(path, state)
-        except Exception as exc:  # tree/shape mismatch -> tolerant align
+        except (ValueError, TypeError, KeyError) as exc:
+            # orbax signals tree-structure/shape mismatch with these
             self.logger.warning(
                 "Strict restore failed (%s: %s); falling back to "
                 "longest-suffix key alignment", type(exc).__name__, exc,
@@ -201,14 +227,29 @@ class Checkpointer:
         if not isinstance(raw, dict):
             raise TypeError(f"Unexpected checkpoint payload: {type(raw)}")
         updates = {}
+        stats: dict = {}
         for field in self.WEIGHT_FIELDS:
             cur = getattr(state, field, None)
             if cur is None or field not in raw or raw[field] is None:
                 continue
             updates[field] = jax.tree.map(
                 jnp_asarray_like, align_pytree(
-                    jax.device_get(cur), raw[field], self.logger, label=field
+                    jax.device_get(cur), raw[field], self.logger,
+                    label=field, stats=stats,
                 ), cur,
+            )
+        matched, total = stats.get("matched", 0), stats.get("total", 0)
+        if total and matched == 0:
+            raise ValueError(
+                f"Aligned load of {path} matched 0/{total} weight leaves — "
+                f"refusing to return a pure-initialization state (wrong or "
+                f"corrupted checkpoint?)"
+            )
+        if matched < 0.5 * total:
+            self.logger.error(
+                "Aligned load of %s matched only %d/%d weight leaves; the "
+                "rest keep initialization — verify this is the intended "
+                "checkpoint", path, matched, total,
             )
         return state.replace(**updates)
 
