@@ -266,6 +266,65 @@ class TestCrossDataset:
         assert batch["pixels"].shape[0] == cfg.TEST.IMS_PER_BATCH
 
 
+class TestSchemaValidation:
+    """Wrong-schema annotation JSON must fail at construction with a message
+    naming the file — not as a KeyError deep in a loader worker thread
+    (VERDICT r2 next-item 6; reference schema: cuhkpedes.py:37-54)."""
+
+    def _write(self, tmp_path, payload):
+        import json
+
+        ann = tmp_path / "bad.json"
+        ann.write_text(json.dumps(payload))
+        return str(ann)
+
+    def test_missing_annotations_key(self, tmp_path):
+        from textreid_tpu.data.datasets import CUHKPEDESDataset
+
+        ann = self._write(tmp_path, {"images": []})
+        with pytest.raises(ValueError, match="annotations.*bad.json|bad.json"):
+            CUHKPEDESDataset(str(tmp_path), ann)
+
+    def test_missing_record_keys(self, tmp_path):
+        from textreid_tpu.data.datasets import CUHKPEDESDataset
+
+        # an ICFG-style raw record: different field names
+        ann = self._write(tmp_path, {"annotations": [
+            {"img_path": "a.jpg", "captions": ["some text"], "split": "train"}
+        ]})
+        with pytest.raises(ValueError) as exc:
+            CUHKPEDESDataset(str(tmp_path), ann)
+        msg = str(exc.value)
+        assert "bad.json" in msg
+        assert "file_path" in msg and "onehot" in msg
+
+    def test_sentence_mode_requires_sentence(self, tmp_path):
+        from textreid_tpu.data.datasets import ICFGPEDESDataset
+
+        ann = self._write(tmp_path, {"annotations": [
+            {"file_path": "a.jpg", "onehot": [1], "id": 0, "image_id": 0}
+        ]})
+        with pytest.raises(ValueError, match="sentence"):
+            ICFGPEDESDataset(str(tmp_path), ann, use_onehot=False)
+
+    def test_empty_annotations(self, tmp_path):
+        from textreid_tpu.data.datasets import CUHKPEDESDataset
+
+        ann = self._write(tmp_path, {"annotations": []})
+        with pytest.raises(ValueError, match="empty"):
+            CUHKPEDESDataset(str(tmp_path), ann)
+
+    def test_valid_schema_accepted(self, synth_root):
+        import os
+
+        from textreid_tpu.data.datasets import CUHKPEDESDataset
+
+        root = os.path.join(synth_root, "datasets", "cuhkpedes")
+        ds = CUHKPEDESDataset(
+            root, os.path.join(root, "annotations", "train.json"))
+        assert len(ds) > 0
+
+
 class TestImageCache:
     def test_cache_serves_identical_samples(self, synth_root):
         cfg = _cfg(synth_root)

@@ -164,3 +164,34 @@ def test_modified_resnet_res5_stride2():
     )
     got = np.asarray(model.apply(merged, xj))
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+class TestDegenerateInputGuards:
+    """An input resolution the trunk downsamples to an empty grid must be a
+    loud build-time error, not a silent NaN (the attnpool mean over zero
+    tokens) — found by the /verify drive at 32x16 with RES5_STRIDE=2."""
+
+    def test_m_resnet_empty_grid_raises(self):
+        import jax.numpy as jnp
+        import pytest
+
+        from textreid_tpu.models.m_resnet import modified_resnet50
+
+        with pytest.raises(ValueError, match="too small"):
+            modified_resnet50((32, 16), 2, dtype=jnp.bfloat16).final_grid
+
+    def test_m_resnet_stride1_ok(self):
+        import jax.numpy as jnp
+
+        from textreid_tpu.models.m_resnet import modified_resnet50
+
+        assert modified_resnet50((32, 16), 1,
+                                 dtype=jnp.bfloat16).final_grid == (2, 1)
+
+    def test_vit_empty_patch_grid_raises(self):
+        import pytest
+
+        from textreid_tpu.models.vit import VisionTransformer
+
+        with pytest.raises(ValueError, match="empty"):
+            VisionTransformer(input_resolution=(32, 16), patch_size=32).grid

@@ -95,7 +95,7 @@ def oracle_cfg(root: str):
     cfg.SOLVER.WARMUP_FACTOR = 0.1
     cfg.TEST.IMS_PER_BATCH = BATCH
     cfg.TPU.DEVICE_PREP = False  # host float pipeline, bit-compatible
-    cfg.TPU.USE_PALLAS = False
+    cfg.TPU.GRU_PALLAS = False
     return cfg
 
 

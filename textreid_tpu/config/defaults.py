@@ -142,9 +142,6 @@ _C.TPU = CN()
 _C.TPU.DATA_PARALLEL = 0
 # Compute dtype for backbone matmuls/convs: "float32" or "bfloat16".
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
-# Use Pallas kernels for the hot ops where available (falls back silently
-# to pure-XLA paths on CPU).
-_C.TPU.USE_PALLAS = True
 # Text-tower recurrence on the fused Pallas kernel. Measured on the v5e at
 # [B=128,H=512,T=105] bf16 with overhead-amortized in-jit timing, the two
 # paths are indistinguishable (~0.15 ms full-module either way — the text

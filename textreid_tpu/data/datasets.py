@@ -44,7 +44,36 @@ class CUHKPEDESDataset:
 
         with open(ann_file, "r") as f:
             dataset = json.load(f)
+        if not isinstance(dataset, dict) or "annotations" not in dataset:
+            raise ValueError(
+                f"{type(self).__name__}: {ann_file} has no top-level "
+                f"'annotations' list (reference schema: "
+                f"lib/data/datasets/cuhkpedes.py:27-28); found "
+                f"{sorted(dataset)[:8] if isinstance(dataset, dict) else type(dataset).__name__}"
+            )
         self.dataset = dataset["annotations"]
+        self._validate_schema(ann_file)
+
+    def _validate_schema(self, ann_file: str) -> None:
+        """Fail fast, at construction, with a message naming the file —
+        instead of a bare KeyError raised later inside a loader worker
+        thread (reference record schema: cuhkpedes.py:37-54)."""
+        if not self.dataset:
+            raise ValueError(f"{type(self).__name__}: {ann_file} has an "
+                             f"empty 'annotations' list")
+        first = self.dataset[0]
+        required = ["file_path", "id", "image_id",
+                    "onehot" if self.use_onehot else "sentence"]
+        missing = [k for k in required if k not in first]
+        if missing:
+            raise ValueError(
+                f"{type(self).__name__}: first record of {ann_file} is "
+                f"missing required key(s) {missing}; expected the "
+                f"CUHK-PEDES annotation schema {required} "
+                f"(got keys {sorted(first)[:10]}). If this is a "
+                f"differently-formatted release, convert the annotations "
+                f"or pass use_onehot=False with a tokenizer."
+            )
 
     def __len__(self) -> int:
         return len(self.dataset)
@@ -101,8 +130,11 @@ class CUHKPEDESDataset:
 
 
 class ICFGPEDESDataset(CUHKPEDESDataset):
-    """ICFG-PEDES uses the same annotation schema; listed as a reference
-    README TODO ('Experiments on other datasets')."""
+    """ICFG-PEDES, assuming CUHK-PEDES-converted annotations; listed as a
+    reference README TODO ('Experiments on other datasets').  Real ICFG
+    releases ship differently-named fields — the constructor-time schema
+    validation (``_validate_schema``) rejects those up front with a
+    conversion hint instead of a KeyError deep in a worker thread."""
 
 
 class ConcatDataset:

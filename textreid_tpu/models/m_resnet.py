@@ -186,7 +186,17 @@ class ModifiedResNet(nn.Module):
     @property
     def final_grid(self) -> Tuple[int, int]:
         down = 16 if self.last_stride == 1 else 32
-        return (self.input_resolution[0] // down, self.input_resolution[1] // down)
+        grid = (self.input_resolution[0] // down,
+                self.input_resolution[1] // down)
+        if min(grid) < 1:
+            raise ValueError(
+                f"input_resolution {tuple(self.input_resolution)} too small "
+                f"for this trunk: it downsamples by {down}x, leaving an "
+                f"empty {grid} final grid whose attention pool would "
+                f"silently produce NaN.  Use INPUT.HEIGHT/WIDTH >= {down} "
+                f"or RESNET.RES5_STRIDE=1."
+            )
+        return grid
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:

@@ -68,10 +68,18 @@ class VisionTransformer(nn.Module):
 
     @property
     def grid(self) -> Tuple[int, int]:
-        return (
+        grid = (
             self.input_resolution[0] // self.patch_size,
             self.input_resolution[1] // self.patch_size,
         )
+        if min(grid) < 1:
+            raise ValueError(
+                f"input_resolution {tuple(self.input_resolution)} smaller "
+                f"than patch_size {self.patch_size}: the {grid} patch grid "
+                f"is empty, so the tower would silently attend over the "
+                f"CLS token alone and ignore the image entirely."
+            )
+        return grid
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:

@@ -151,7 +151,10 @@ class RetrievalIndex:
                k: int = 10):
         """Top-k gallery matches for tokenized text queries.
 
-        Returns (scores [Q,k], gallery metadata [Q,k])."""
+        Returns (scores [Q,k], gallery metadata [Q,k]).  Slots beyond the
+        real gallery (k > |gallery|, or mesh padding rows) carry score
+        ``-inf`` and metadata ``-1`` — a sentinel, never a clipped alias of
+        a real id a score-ignoring caller could mistake for a match."""
         assert self.gallery is not None, "call build_gallery first"
         queries = self.encode_queries(token_ids, lengths)
         n_real = len(self.gallery_meta)
@@ -168,22 +171,27 @@ class RetrievalIndex:
                 self.mesh, queries, self.gallery, k=k,
                 use_pallas=self.use_pallas,
             )
-            idx_np = np.asarray(idx)
-            vals = np.where(idx_np < n_real, np.asarray(vals), -np.inf)
-            idx_np = np.clip(idx_np, 0, n_real - 1)
         elif self.quantize:
             from .ops.quant import quantized_topk
 
             vals, idx = quantized_topk(queries, self._quant_gallery, k)
-            vals, idx_np = np.asarray(vals), np.asarray(idx)
         elif self.use_pallas:
             from .ops.ranking_pallas import topk_similarity_padded
 
             vals, idx = topk_similarity_padded(queries, self.gallery, k=k)
-            vals, idx_np = np.asarray(vals), np.asarray(idx)
         else:
             sim = queries @ self.gallery.T
-            vals, idx = jax.lax.top_k(sim, k)
-            vals, idx_np = np.asarray(vals), np.asarray(idx)
+            vals, idx = jax.lax.top_k(sim, min(k, int(sim.shape[1])))
 
-        return vals, self.gallery_meta[idx_np]
+        vals, idx_np = np.asarray(vals), np.asarray(idx)
+        if vals.shape[1] < k:  # XLA top_k caps at the gallery size
+            pad = k - vals.shape[1]
+            vals = np.pad(vals, ((0, 0), (0, pad)),
+                          constant_values=-np.inf)
+            idx_np = np.pad(idx_np, ((0, 0), (0, pad)), constant_values=-1)
+        valid = (idx_np >= 0) & (idx_np < n_real)
+        vals = np.where(valid, vals, -np.inf)
+        meta = np.where(
+            valid, self.gallery_meta[np.clip(idx_np, 0, n_real - 1)], -1
+        )
+        return vals, meta
