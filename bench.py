@@ -273,12 +273,18 @@ def bench_stages():
             if m is not None:
                 report[f"{name}_mfu"] = m
 
+    # Module variables are always passed as ARGS, never closed over: a
+    # closure embeds the whole param tree as constants in the serialized
+    # HLO, and the relay's compile endpoint rejects bodies that large
+    # (HTTP 413 on the 344 MB ViT-B/16 tree).
+
     # full visual tower (bf16, 384x128, stride-1 res5)
     visual = modified_resnet50((384, 128), 1, dtype=jnp.bfloat16)
     pixels = jnp.asarray(rng.rand(BATCH, 384, 128, 3), jnp.bfloat16)
     vvars = jax.jit(lambda: visual.init(jax.random.PRNGKey(0), pixels))()
     jax.block_until_ready(vvars)
-    stage("visual_fwd", lambda x: visual.apply(vvars, x), (pixels,), iters=50)
+    stage("visual_fwd", lambda v, x: visual.apply(v, x), (vvars, pixels),
+          iters=50)
 
     # ViT-B/16 tower at the same input (the BASELINE.json stretch backbone)
     vit = VisionTransformer(input_resolution=(384, 128), patch_size=16,
@@ -286,7 +292,8 @@ def bench_stages():
                             dtype=jnp.bfloat16)
     vitvars = jax.jit(lambda: vit.init(jax.random.PRNGKey(0), pixels))()
     jax.block_until_ready(vitvars)
-    stage("vit_fwd", lambda x: vit.apply(vitvars, x), (pixels,), iters=50)
+    stage("vit_fwd", lambda v, x: vit.apply(v, x), (vitvars, pixels),
+          iters=50)
 
     # attention pool alone at the RN50 grid ([B, 12, 4, 2048])
     pool = AttentionPool2d(spacial_dim=(12, 4), embed_dim=2048, num_heads=32,
@@ -296,7 +303,7 @@ def bench_stages():
     feat = jnp.asarray(rng.rand(BATCH, 12, 4, 2048), jnp.bfloat16)
     pvars = jax.jit(lambda: pool.init(jax.random.PRNGKey(0), feat))()
     jax.block_until_ready(pvars)
-    stage("attnpool_fwd", lambda x: pool.apply(pvars, x), (feat,))
+    stage("attnpool_fwd", lambda v, x: pool.apply(v, x), (pvars, feat))
 
     # text tower (frozen-table path, fused Pallas scan on TPU).  Token ids
     # are integers, so the loop dependency must ride the params pytree —
@@ -310,13 +317,13 @@ def bench_stages():
     lens = jnp.asarray(rng.randint(10, TOKENS, (BATCH,)).astype(np.int32))
     gvars = jax.jit(lambda: gru.init(jax.random.PRNGKey(0), ids, lens))()
     jax.block_until_ready(gvars)
-    stage("text_fwd", lambda g, i: gru.apply(g, i, lens), (gvars, ids))
+    stage("text_fwd", lambda g, i, l: gru.apply(g, i, l), (gvars, ids, lens))
     if use_pallas:
         gru_xla = BiGRUEncoder(hidden_dim=512, vocab_size=512, embed_size=512,
                                use_onehot="clip_vit", allow_random_table=True,
                                use_pallas=False, dtype=jnp.bfloat16)
-        stage("text_fwd_xla", lambda g, i: gru_xla.apply(g, i, lens),
-              (gvars, ids))
+        stage("text_fwd_xla", lambda g, i, l: gru_xla.apply(g, i, l),
+              (gvars, ids, lens))
 
     # loss block at flagship shapes
     v = jnp.asarray(rng.rand(BATCH, 256).astype(np.float32))

@@ -118,6 +118,83 @@ class TestCLIWorkflow:
 # a second full training subprocess here would only re-test the same path)
 
 
+class TestViTWarmStartCLI:
+    def test_vit_warm_start_trains_end_to_end(self, workspace):
+        """train_net.py's CLIP-ViT warm-start branch (train_net.py, the
+        clip_vit arm mirroring reference m_resnet.py:294-307 conventions)
+        driven end-to-end: a fake CLIP ViT checkpoint with a 3x3 source
+        pos-embed grid is converted (incl. bilinear resize to the 4x2
+        target grid) and merged before training (VERDICT r2 next-item 2b)."""
+        import numpy as np
+        import torch
+
+        width, layers, patch = 32, 2, 8
+        rng = np.random.RandomState(7)
+        sd = {
+            "visual.class_embedding": rng.randn(width).astype(np.float32) * 0.05,
+            # 3x3 source grid -> must be bilinearly resized to 4x2
+            "visual.positional_embedding": rng.randn(10, width).astype(
+                np.float32) * 0.05,
+            "visual.conv1.weight": rng.randn(width, 3, patch, patch).astype(
+                np.float32) * 0.05,
+            "visual.ln_pre.weight": np.ones(width, np.float32),
+            "visual.ln_pre.bias": np.zeros(width, np.float32),
+            "visual.ln_post.weight": np.ones(width, np.float32),
+            "visual.ln_post.bias": np.zeros(width, np.float32),
+            "visual.proj": rng.randn(width, 16).astype(np.float32) * 0.05,
+        }
+        for i in range(layers):
+            p = f"visual.transformer.resblocks.{i}"
+            sd.update({
+                f"{p}.ln_1.weight": np.ones(width, np.float32),
+                f"{p}.ln_1.bias": np.zeros(width, np.float32),
+                f"{p}.attn.in_proj_weight": rng.randn(
+                    3 * width, width).astype(np.float32) * 0.05,
+                f"{p}.attn.in_proj_bias": np.zeros(3 * width, np.float32),
+                f"{p}.attn.out_proj.weight": rng.randn(
+                    width, width).astype(np.float32) * 0.05,
+                f"{p}.attn.out_proj.bias": np.zeros(width, np.float32),
+                f"{p}.ln_2.weight": np.ones(width, np.float32),
+                f"{p}.ln_2.bias": np.zeros(width, np.float32),
+                f"{p}.mlp.c_fc.weight": rng.randn(
+                    4 * width, width).astype(np.float32) * 0.05,
+                f"{p}.mlp.c_fc.bias": np.zeros(4 * width, np.float32),
+                f"{p}.mlp.c_proj.weight": rng.randn(
+                    width, 4 * width).astype(np.float32) * 0.05,
+                f"{p}.mlp.c_proj.bias": np.zeros(width, np.float32),
+            })
+        clip_dir = workspace / "pretrained" / "clip"
+        clip_dir.mkdir(parents=True, exist_ok=True)
+        torch.save({k: torch.from_numpy(v) for k, v in sd.items()},
+                   str(clip_dir / "ViT-B-16.pt"))
+
+        cfg_dir = workspace / "configs" / "tiny"
+        (cfg_dir / "vit.yaml").write_text(
+            (cfg_dir / "smoke.yaml").read_text().replace(
+                'VISUAL_MODEL: "resnet18"',
+                'VISUAL_MODEL: "clip_vit_tiny"\n'
+                '  VIT:\n'
+                '    PATCH_SIZE: 8\n'
+                '    WIDTH: 32\n'
+                '    LAYERS: 2\n'
+                '    HEADS: 4\n'
+                '    OUTPUT_DIM: 16\n'
+                '  RESNET:\n'
+                '    RES5_STRIDE: 1',
+            )
+        )
+        out = run_cli(
+            "train_net.py",
+            ["--root", str(workspace), "--config-file",
+             "configs/tiny/vit.yaml", "SOLVER.VISUAL_LR_FACTOR", "0.1"],
+            cwd=workspace,
+        )
+        combined = out.stdout + out.stderr
+        assert "Loading CLIP ViT weights" in combined
+        assert "epoch [1]" in combined
+        assert (workspace / "output" / "tiny" / "vit" / "best").is_dir()
+
+
 class TestMultiLayerFreezeCLI:
     def test_gru2l_freeze_trains_end_to_end(self, workspace):
         """NUM_LAYER=2 + MODEL.FREEZE end-to-end through train_net.py

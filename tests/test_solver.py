@@ -148,6 +148,32 @@ class TestOptimizerTorchParity:
         ratio = np.asarray(upd_a["w"]) / np.asarray(upd_b["w"])
         np.testing.assert_allclose(ratio, 10.0, rtol=1e-5)
 
+    def test_visual_lr_factor_scales_only_visual_tower(self):
+        """SOLVER.VISUAL_LR_FACTOR (the ViT fine-tune recipe knob) must
+        scale updates under the top-level 'visual' tower and nothing else."""
+        params = {"visual": {"block_0": {"kernel": jnp.ones((2, 2))}},
+                  "textual": {"kernel": jnp.ones((2, 2))},
+                  "projection": jnp.ones((2, 2))}
+        grads = jax.tree.map(jnp.ones_like, params)
+
+        def updates(factor):
+            cfg = _cfg(OPTIMIZER="Adam", BASE_LR=1.0, WEIGHT_DECAY=0.0,
+                       VISUAL_LR_FACTOR=factor)
+            tx = make_optimizer(cfg, params)
+            state = set_learning_rate(tx.init(params), 1.0)
+            upd, _ = tx.update(grads, state, params)
+            return upd
+
+        base, scaled = updates(1.0), updates(0.1)
+        np.testing.assert_allclose(
+            np.asarray(scaled["visual"]["block_0"]["kernel"]),
+            np.asarray(base["visual"]["block_0"]["kernel"]) * 0.1, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(scaled["textual"]["kernel"]),
+                                   np.asarray(base["textual"]["kernel"]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(scaled["projection"]),
+                                   np.asarray(base["projection"]), rtol=1e-6)
+
     def test_frozen_mask_zeroes_updates(self):
         params = {"a": jnp.ones(3), "b": jnp.ones(3)}
         cfg = _cfg(OPTIMIZER="Adam", BASE_LR=0.1, WEIGHT_DECAY=0.0)

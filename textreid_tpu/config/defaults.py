@@ -122,6 +122,13 @@ _C.SOLVER.STEPS = (500,)
 _C.SOLVER.POWER = 0.9
 _C.SOLVER.TARGET_LR = 0.0001
 
+# LR multiplier for the pretrained visual tower (TPU extension, no
+# reference counterpart — defaults to 1.0 = reference behavior).  The ViT
+# fine-tune recipe trains the interpolated-pos-embed CLIP tower at a
+# fraction of BASE_LR while the GRU/head train at full rate
+# (configs/cuhkpedes/moco_gru_clipvitb16_ft_ls_bs128_2048.yaml).
+_C.SOLVER.VISUAL_LR_FACTOR = 1.0
+
 # ---------------------------------------------------------------------------
 # Test (reference defaults.py:126-130)
 # ---------------------------------------------------------------------------

@@ -87,6 +87,18 @@ def bias_mask(params) -> dict:
     return jax.tree_util.tree_unflatten(treedef, [is_bias(p) for p, _ in flat])
 
 
+def visual_mask(params) -> dict:
+    """Pytree mask that is True on leaves under the top-level ``visual``
+    tower (the warm-started backbone ``SOLVER.VISUAL_LR_FACTOR`` scales)."""
+    def mask(tree, top=None):
+        if not isinstance(tree, dict):
+            return top == "visual"
+        return {k: mask(v, top if top is not None else k)
+                for k, v in tree.items()}
+
+    return mask(params)
+
+
 def freeze_mask(params) -> dict:
     """Trainable-mask pytree implementing ``cfg.MODEL.FREEZE``: the visual
     stem + layers 1-3 and the whole text tower stop updating (reference
@@ -123,6 +135,8 @@ def make_optimizer(cfg, params, trainable_mask=None) -> optax.GradientTransforma
     """
     b_mask = bias_mask(params)
     not_b_mask = jax.tree.map(lambda m: not m, b_mask)
+    visual_lr_factor = float(cfg.SOLVER.VISUAL_LR_FACTOR)
+    v_mask = visual_mask(params) if visual_lr_factor != 1.0 else None
 
     wd = cfg.SOLVER.WEIGHT_DECAY
     wd_bias = cfg.SOLVER.WEIGHT_DECAY_BIAS
@@ -160,9 +174,14 @@ def make_optimizer(cfg, params, trainable_mask=None) -> optax.GradientTransforma
     # Per-step lr comes in through inject_hyperparams so the trainer can set
     # it each epoch without rebuilding the optimizer.
     def lr_scaled(learning_rate):
+        extra = []
+        if v_mask is not None:
+            extra.append(
+                optax.masked(optax.scale(visual_lr_factor), v_mask))
         return optax.chain(
             *chain,
             optax.masked(optax.scale(bias_lr_factor), b_mask),
+            *extra,
             optax.scale(-learning_rate),
         )
 
