@@ -100,66 +100,67 @@ def mfu(flops, seconds):
 def _timed_loop(fn, args, iters=200):
     """Honest on-device timing through the relay: repeat the op inside ONE
     jitted fori_loop with a real data dependency between iterations (so XLA
-    cannot hoist it), and divide the wall-clock of the single dispatch.
+    cannot hoist it), run it at two trip counts, and divide the wall-clock
+    DIFFERENCE — fixed dispatch/fetch overhead cancels exactly.
 
     Measured traps this design guards against (the relay lies):
-    * every dispatch carries ~25 ms of fixed relay overhead, so sub-ms ops
-      need iters >= 200 to amortize it below the noise;
+    * ``block_until_ready`` through the relay sometimes returns WITHOUT
+      blocking (observed round 3: a 400x2 GFLOP loop "finished" in 80 us),
+      so completion is forced by fetching the scalar result to the host —
+      a D2H read cannot return before the value exists;
+    * every dispatch+fetch carries tens of ms of relay overhead; instead of
+      amortizing it (round-2 approach) the two-trip-count difference
+      removes it exactly;
     * the inter-iteration dependency must consume EVERY output element
       (jnp.sum) in the op's OWN dtype — a single-element dependency lets
       XLA slice-propagate away most of the computation, and an f32 carry
       added to bf16 inputs upcasts the whole op;
-    * the dependency must touch a FLOAT input of the op: integer-only args
-      (e.g. token ids) leave the body loop-invariant and XLA hoists the
-      whole computation out of the loop (up to iters x underestimate —
-      advisor finding, round 2).  Callers of integer-input ops must pass a
-      float-leafed pytree (e.g. the params) as one of ``args``; this loop
-      perturbs every floating leaf of every arg in its own dtype and
-      asserts at trace time that at least one exists.
+    * the dependency must touch EVERY input of the op: float leaves get a
+      (fused, ~free) carry add in their own dtype; integer arrays (token
+      ids — which round 2 left invariant, letting XLA hoist the whole text
+      forward: advisor finding) are rolled by a shift that is 0 at runtime
+      but opaque to XLA (``isnan(carry)``), which no algebraic rewrite can
+      hoist;
+    * the trip count is a RUNTIME argument (while_loop lowering), so the
+      compiler cannot specialize either run.
     """
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def loop(*a):
-        def perturb(x, c):
-            n_float = 0
+    def loop(n, *a):
+        def body(_, c):
+            shift = jnp.isnan(c).astype(jnp.int32)  # 0 at runtime
 
             def leaf(l):
-                nonlocal n_float
                 l = jnp.asarray(l)
                 if jnp.issubdtype(l.dtype, jnp.floating):
-                    n_float += 1
                     return l + c.astype(l.dtype)
+                if l.ndim:
+                    return jnp.roll(l, shift, axis=-1)
                 return l
 
-            out = jax.tree.map(leaf, x)
-            return out, n_float
-
-        def body(_, c):
-            perturbed = []
-            total_float = 0
-            for x in a:
-                px, n = perturb(x, c)
-                perturbed.append(px)
-                total_float += n
-            assert total_float > 0, (
-                "_timed_loop: no floating input to perturb — the body would "
-                "be loop-invariant and XLA would hoist it (pass params)"
-            )
-            out = fn(*perturbed)
-            leaf = jax.tree.leaves(out)[0]
-            # consume EVERY output element: depending on a single element
-            # lets XLA slice-propagate and prune most of the computation
-            return (jnp.sum(leaf.astype(jnp.float32)) * 1e-30).astype(
+            out = fn(*jax.tree.map(leaf, a))
+            first = jax.tree.leaves(out)[0]
+            return (jnp.sum(first.astype(jnp.float32)) * 1e-30).astype(
                 jnp.float32)
 
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0),
+                                 unroll=False)
 
-    loop(*args).block_until_ready()  # compile
-    t0 = time.time()
-    loop(*args).block_until_ready()
-    return (time.time() - t0) / iters
+    half = max(iters // 2, 1)
+    float(loop(iters, *args))  # compile + warm
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        float(loop(half, *args))
+        t_half = time.time() - t0
+        t0 = time.time()
+        float(loop(iters, *args))
+        t_full = time.time() - t0
+        per_iter = (t_full - t_half) / (iters - half)
+        best = per_iter if best is None else min(best, per_iter)
+    return max(best, 0.0)
 
 
 # ---------------------------------------------------------------------------

@@ -85,6 +85,7 @@ def run_cli(script, args, cwd):
     return result
 
 
+@pytest.mark.slow
 class TestCLIWorkflow:
     def test_train_then_eval(self, workspace):
         cfg_rel = "configs/tiny/smoke.yaml"
@@ -195,6 +196,7 @@ class TestViTWarmStartCLI:
         assert (workspace / "output" / "tiny" / "vit" / "best").is_dir()
 
 
+@pytest.mark.slow
 class TestMultiLayerFreezeCLI:
     def test_gru2l_freeze_trains_end_to_end(self, workspace):
         """NUM_LAYER=2 + MODEL.FREEZE end-to-end through train_net.py

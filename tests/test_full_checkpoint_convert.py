@@ -6,6 +6,8 @@ Validates the contract that released TextReID ``.pth`` checkpoints load via
 trees, embed layers, loss projection, and the [D,K] -> [K,D] queue
 transposition with id queue and pointer."""
 
+import pytest
+
 import numpy as np
 
 import jax
@@ -99,6 +101,7 @@ def tiny_model(cfg):
     )
 
 
+@pytest.mark.slow
 class TestFullCheckpointConversion:
     def test_convert_and_encode(self):
         cfg = tiny_cfg()

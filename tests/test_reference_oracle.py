@@ -29,6 +29,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # runs the upstream torch code end-to-end, ~10 min total
+
 torch = pytest.importorskip("torch")
 
 import jax  # noqa: E402

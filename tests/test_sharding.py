@@ -81,6 +81,7 @@ class TestMesh:
         assert shards[0].data.shape[0] == 1
 
 
+@pytest.mark.slow
 class TestShardedTrainStep:
     @pytest.fixture(scope="class")
     def setup(self):

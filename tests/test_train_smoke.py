@@ -104,6 +104,7 @@ def make_optimizer_for(cfg, model, batch):
     return make_optimizer(cfg, variables["params"])
 
 
+@pytest.mark.slow
 class TestMoCoTraining:
     @pytest.mark.parametrize("head", ["moco", "moco_fc"])
     def test_two_steps_losses_finite_and_queue_moves(self, synth_root, head):
@@ -168,6 +169,7 @@ class TestMoCoTraining:
         )
 
 
+@pytest.mark.slow
 class TestSimpleHeadTraining:
     def test_two_steps(self, synth_root):
         cfg = tiny_cfg(synth_root, head="simple")
@@ -191,6 +193,7 @@ class TestSimpleHeadTraining:
         assert int(state.step) == 2
 
 
+@pytest.mark.slow
 class TestCheckpointRoundTrip:
     def test_save_resume_bit_equality(self, synth_root, tmp_path):
         cfg = tiny_cfg(synth_root)
@@ -259,6 +262,7 @@ class TestEncodeStep:
         assert v.shape == (8, 32) and t.shape == (8, 32)
 
 
+@pytest.mark.slow
 class TestRemat:
     def test_remat_step_matches_plain(self, synth_root):
         """TPU.REMAT recomputes the visual forward in backward; losses and
@@ -291,6 +295,7 @@ class TestRemat:
                                        atol=1e-6)
 
 
+@pytest.mark.slow
 class TestLearning:
     def test_loss_decreases_over_training(self, synth_root):
         """End-to-end learning sanity: 30 MoCo steps on the synthetic set

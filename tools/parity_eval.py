@@ -14,7 +14,16 @@ exist locally (they are not bundled in this repo):
 Usage:
   python tools/parity_eval.py --root $ROOT \
       --config-file configs/cuhkpedes/moco_gru_cliprn50_ls_bs128_2048.yaml \
-      --checkpoint-file best.pth [--torch-compare]
+      --checkpoint-file best.pth [--torch-compare] \
+      [--expected 64.08,81.73,88.19,60.08] [--budget 0.2] \
+      [--output-folder out/parity]
+
+This is the release gate documented in PARITY.md: it prints the full
+t2i/re_t2i/i2t/re_i2t CMC/mAP grid, compares the t2i row against
+``--expected`` (defaults: the paper numbers from BASELINE.md) with a
+``--budget`` tolerance (default 0.2 pts), writes the dual-format
+``inference_data.npz`` for torch cross-replay when ``--output-folder``
+is given, and exits nonzero when any metric falls outside the budget.
 
 ``--torch-compare`` additionally runs the image/text towers under torch
 (CPU) with the original weights on a fixed batch and reports the max
@@ -42,6 +51,15 @@ def main():
     parser.add_argument("--config-file", required=True)
     parser.add_argument("--checkpoint-file", required=True)
     parser.add_argument("--torch-compare", action="store_true")
+    parser.add_argument(
+        "--expected", default="64.08,81.73,88.19,60.08",
+        help="expected t2i R1,R5,R10,mAP (default: BASELINE.md paper row)",
+    )
+    parser.add_argument("--budget", type=float, default=0.2,
+                        help="max |got - expected| per metric, in points")
+    parser.add_argument("--output-folder", default="",
+                        help="write the dual-format inference_data.npz here "
+                             "for torch cross-replay")
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -49,7 +67,12 @@ def main():
 
     from textreid_tpu.config import get_default_cfg
     from textreid_tpu.data import make_data_loader
-    from textreid_tpu.engine import create_train_state, inference
+    from textreid_tpu.engine import create_train_state
+    from textreid_tpu.engine.inference import compute_embeddings
+    from textreid_tpu.evaluation.metrics import (
+        evaluation,
+        format_results_table,
+    )
     from textreid_tpu.models import build_model
     from textreid_tpu.solver import make_optimizer
     from textreid_tpu.utils import setup_logger
@@ -92,15 +115,41 @@ def main():
     if args.torch_compare:
         _torch_tower_compare(cfg, model, state, sample, sd, logger)
 
-    top1 = inference(
-        model, state, loaders[0], dataset_name=cfg.DATASETS.TEST[0],
-        save_data=False, rerank=True,
+    # Full protocol: both directions, with and without k-reciprocal rerank
+    # (reference test_net.py:100-108 + evaluation.py:144-172).
+    embeds = compute_embeddings(model, state, loaders[0])
+    results = evaluation(
+        embeds["v_embed"], embeds["t_embed"], embeds["pids"], embeds["pids"],
+        embeds["image_ids"], topk=(1, 5, 10), rerank=True,
     )
-    logger.info("Converted-checkpoint Rank-1 (t2i): %.2f", top1)
-    logger.info(
-        "Reference paper numbers (BASELINE.md): R1 64.08 R5 81.73 "
-        "R10 88.19 mAP 60.08 — parity budget 0.2 pts"
-    )
+    logger.info("\n%s", format_results_table(results))
+
+    if args.output_folder:
+        os.makedirs(args.output_folder, exist_ok=True)
+        cache = os.path.join(args.output_folder, "inference_data.npz")
+        extra = {k: results[k] for k in
+                 ("image_pid", "text_pid", "similarity", "rvn_mat", "rtn_mat")
+                 if k in results}
+        np.savez(cache, **embeds, **extra)
+        logger.info("Dual-format npz for torch cross-replay: %s", cache)
+
+    expected = [float(v) for v in args.expected.split(",")]
+    got = [results["t2i"]["cmc"][0], results["t2i"]["cmc"][1],
+           results["t2i"]["cmc"][2], results["t2i"]["mAP"]]
+    names = ["R1", "R5", "R10", "mAP"]
+    failed = []
+    for name, g, e in zip(names, got, expected):
+        delta = g - e
+        status = "OK" if abs(delta) <= args.budget else "FAIL"
+        logger.info("t2i %-4s got %6.2f  expected %6.2f  delta %+5.2f  [%s]",
+                    name, g, e, delta, status)
+        if abs(delta) > args.budget:
+            failed.append(name)
+    if failed:
+        logger.error("PARITY GATE FAILED (budget %.2f pts): %s",
+                     args.budget, ", ".join(failed))
+        sys.exit(1)
+    logger.info("PARITY GATE PASSED (budget %.2f pts)", args.budget)
 
 
 def _torch_tower_compare(cfg, model, state, sample, sd, logger):
