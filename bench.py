@@ -367,7 +367,10 @@ def bench_serving():
 
     from textreid_tpu.models.losses import l2_normalize
     from textreid_tpu.ops.quant import quantize_rows, quantized_topk
-    from textreid_tpu.ops.ranking_pallas import topk_similarity
+    from textreid_tpu.ops.ranking_pallas import (
+        topk_similarity,
+        topk_similarity_quantized,
+    )
 
     # sizes env-overridable so the supervisor path can be smoke-tested on
     # CPU (interpret-mode Pallas at 100k rows would take hours)
@@ -391,11 +394,19 @@ def bench_serving():
     pallas_fn = lambda q, g: topk_similarity(  # noqa: E731
         q, g, k=K, query_tile=256, gallery_tile=512, interpret=interpret)
     int8_fn = lambda q: quantized_topk(q, qgal, K)  # noqa: E731
+    int8s_fn = lambda q: topk_similarity_quantized(  # noqa: E731
+        q, qgal.values, qgal.scales, k=K, query_tile=256, gallery_tile=512,
+        interpret=interpret)
 
     # -- correctness cross-check (unperturbed inputs, host compare) --------
     xv, xi = map(np.asarray, xla_fn(queries, gallery))
     pv, pi = map(np.asarray, pallas_fn(queries, gallery))
     iv, ii = map(np.asarray, int8_fn(queries))
+    sv, si = map(np.asarray, int8s_fn(queries))
+    # streaming int8 must reproduce materializing int8 exactly
+    int8_stream_match = float(np.mean(si == ii))
+    assert int8_stream_match > 0.999, int8_stream_match
+    assert float(np.max(np.abs(sv - iv))) < 1e-5
 
     idx_match = float(np.mean(pi == xi))
     score_err = float(np.max(np.abs(pv - xv)))
@@ -424,6 +435,7 @@ def bench_serving():
         "pallas_xla_score_err": score_err,
         "int8_recall_at_k": int8_recall,
         "int8_score_err": int8_err,
+        "int8_stream_index_match": int8_stream_match,
     }
     # timing closures take only the queries: perturbing the gallery arg
     # would add an extra G*D HBM round-trip per iteration (~0.3 ms at this
@@ -434,6 +446,7 @@ def bench_serving():
         ("pallas_topk", lambda q: pallas_fn(q, gallery), (queries,),
          G * D * 4),
         ("int8_topk", int8_fn, (queries,), G * D * 1),
+        ("int8_stream_topk", int8s_fn, (queries,), G * D * 1),
     ):
         secs = _timed_loop(fn, args, iters=iters)
         report[f"{name}_ms"] = secs * 1000

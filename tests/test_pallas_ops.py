@@ -93,6 +93,51 @@ class TestTopKPallas:
         assert (np.diff(v, axis=1) <= 1e-6).all()
 
 
+class TestQuantizedTopKPallas:
+    """Streaming int8 top-k: must reproduce the materializing
+    ``quant.quantized_topk`` exactly (same bf16 contraction + f32
+    accumulation; int8 -> bf16 is exact)."""
+
+    def _setup(self, q_rows=8, g_rows=32, dim=16, seed=0):
+        from textreid_tpu.ops.quant import quantize_rows
+
+        rng = np.random.RandomState(seed)
+        q = rng.randn(q_rows, dim).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        g = rng.randn(g_rows, dim).astype(np.float32)
+        g /= np.linalg.norm(g, axis=1, keepdims=True)
+        return jnp.asarray(q), quantize_rows(jnp.asarray(g))
+
+    def test_matches_materializing_quantized_topk(self):
+        from textreid_tpu.ops.quant import quantized_topk
+        from textreid_tpu.ops.ranking_pallas import topk_similarity_quantized
+
+        q, qgal = self._setup()
+        k = 5
+        sv, si = topk_similarity_quantized(
+            q, qgal.values, qgal.scales, k=k, query_tile=8, gallery_tile=8,
+            interpret=True,
+        )
+        mv, mi = quantized_topk(q, qgal, k)
+        np.testing.assert_allclose(np.asarray(sv), np.asarray(mv),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(mi))
+
+    def test_padded_wrapper_masks_pad_rows(self):
+        from textreid_tpu.ops.quant import quantized_topk
+        from textreid_tpu.ops.ranking_pallas import (
+            topk_similarity_quantized_padded,
+        )
+
+        q, qgal = self._setup(q_rows=5, g_rows=11)
+        sv, si = topk_similarity_quantized_padded(
+            q, qgal, k=4, query_tile=8, gallery_tile=8, interpret=True)
+        mv, mi = quantized_topk(q, qgal, 4)
+        np.testing.assert_allclose(np.asarray(sv), np.asarray(mv), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(mi))
+        assert (np.asarray(si) < 11).all()
+
+
 class TestHybridVJP:
     def test_gradients_match_xla_scan(self):
         """The custom-VJP hybrid (Pallas fwd, XLA-scan bwd) must produce the

@@ -128,6 +128,24 @@ class TestQuantizedGallery:
         assert q.values.dtype == jnp.int8
         np.testing.assert_allclose(back, e, atol=1.5 / 127)
 
+    def test_quantized_streaming_matches_materializing(self, model_and_state):
+        """quantize=True + use_pallas=True must route through the streaming
+        int8 kernel and return exactly what the materializing int8 path
+        returns (same bf16 numerics)."""
+        model, state = model_and_state
+        mat = RetrievalIndex(model, state, use_pallas=False, quantize=True)
+        stream = RetrievalIndex(model, state, use_pallas=True, quantize=True)
+        g = _gallery_batches(n=10)
+        mat.build_gallery(g)
+        stream.build_gallery(g)
+        rng = np.random.RandomState(8)
+        token_ids = rng.randint(1, 30, (4, 8)).astype(np.int32)
+        lengths = np.full(4, 8, np.int32)
+        s1, m1 = mat.search(token_ids, lengths, k=3)
+        s2, m2 = stream.search(token_ids, lengths, k=3)
+        np.testing.assert_allclose(s1, s2, atol=1e-6)
+        np.testing.assert_array_equal(m1, m2)
+
     def test_quantized_search_preserves_topk(self, model_and_state):
         """int8 gallery must agree with float search on well-separated
         galleries (rank-1 identical, scores within quantization error)."""

@@ -150,12 +150,14 @@ _C.TPU.DATA_PARALLEL = 0
 # Compute dtype for backbone matmuls/convs: "float32" or "bfloat16".
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # Text-tower recurrence on the fused Pallas kernel. Measured on the v5e at
-# [B=128,H=512,T=105] bf16 with overhead-amortized in-jit timing, the two
-# paths are indistinguishable (~0.15 ms full-module either way — the text
-# tower is a rounding error next to the conv trunk). The XLA scan is the
-# default for simplicity/portability; the kernel stays available and
-# benchmarked (bench.py --stages) and avoids the [T,B,H] per-step HBM
-# writes, which may matter under HBM contention at much larger batches.
+# [B=128,H=512,T=105] bf16 with trip-count-differenced in-jit timing
+# (bench.py::_timed_loop, round 3 — earlier amortized numbers were
+# relay/LICM-distorted), the kernel is ~4% faster than the XLA scan
+# (0.88 vs 0.92 ms full-module) — both a rounding error next to the
+# 11.9 ms conv trunk. The XLA scan stays the default for simplicity/
+# portability; the kernel remains available and benchmarked
+# (bench.py --stages) and avoids the [T,B,H] per-step HBM writes, which
+# may matter under HBM contention at much larger batches.
 _C.TPU.GRU_PALLAS = False
 # Ship uint8 pixels and fuse /255 -> normalize -> random-erase fill into the
 # jitted device step (4x less host->device traffic than f32). False restores

@@ -12,6 +12,11 @@ MXU, and folds it into a running top-k with a k-pass max/mask reduction
 (pure VPU ops — no sorts or gathers, which TPU lacks).  HBM traffic is
 O(Q*D + G*D + Q*k) instead of O(Q*G).
 
+``topk_similarity_quantized`` is the int8 composition (gallery rows from
+``ops/quant.py``): the gallery streams as int8 + per-row scales — 4x less
+HBM traffic again — and scores reproduce ``quant.quantized_scores``
+bit-for-bit (int8 -> bf16 is exact, same f32 accumulation).
+
 Tie-breaking: when two gallery items share a score, the larger index wins a
 slot first (the reference's argsort breaks ties arbitrarily as well).
 """
@@ -158,6 +163,161 @@ def topk_similarity(
         interpret=interpret,
     )(queries.astype(jnp.float32), gallery.astype(jnp.float32))
     return vals, idx
+
+
+def _make_quant_kernel(k: int, gallery_tile: int, num_g_tiles: int,
+                       valid_gallery: int):
+    """Streaming top-k over an int8-quantized gallery (ops/quant.py rows).
+
+    The gallery streams from HBM as int8 (4x less traffic than f32) with
+    its per-row f32 scales; scores are computed exactly like
+    ``quant.quantized_scores`` — bf16 query x bf16(int8) contraction with
+    f32 accumulation, scales folded in per score column — so results match
+    the materializing path bit for bit (int8 -> bf16 is exact)."""
+
+    def kernel(q_ref, g_hbm, s_hbm, vals_ref, idx_ref, g_scratch, s_scratch,
+               sem, s_sem):
+        q = q_ref[:].astype(jnp.bfloat16)  # [Qt, D]
+        qt = q.shape[0]
+
+        def g_dma(slot, tile):
+            return pltpu.make_async_copy(
+                g_hbm.at[pl.ds(tile * gallery_tile, gallery_tile), :],
+                g_scratch.at[slot],
+                sem.at[slot],
+            )
+
+        def s_dma(slot, tile):
+            return pltpu.make_async_copy(
+                s_hbm.at[pl.ds(tile * gallery_tile, gallery_tile)],
+                s_scratch.at[slot],
+                s_sem.at[slot],
+            )
+
+        g_dma(0, 0).start()
+        s_dma(0, 0).start()
+
+        run_vals = jnp.full((qt, k), NEG_INF, jnp.float32)
+        run_idx = jnp.full((qt, k), -1, jnp.int32)
+
+        def body(tile, carry):
+            run_vals, run_idx = carry
+            slot = tile % 2
+
+            @pl.when(tile + 1 < num_g_tiles)
+            def _():
+                g_dma((tile + 1) % 2, tile + 1).start()
+                s_dma((tile + 1) % 2, tile + 1).start()
+
+            g_dma(slot, tile).wait()
+            s_dma(slot, tile).wait()
+
+            # int8 -> bf16 is exact for |v| <= 127; f32 accumulation
+            raw = jax.lax.dot_general(
+                q, g_scratch[slot].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Qt, Gt]
+            scores = raw * s_scratch[slot][None, :]
+            g_idx = tile * gallery_tile + jax.lax.broadcasted_iota(
+                jnp.int32, (qt, gallery_tile), 1
+            )
+            scores = jnp.where(g_idx < valid_gallery, scores, NEG_INF)
+            buf_vals = jnp.concatenate([run_vals, scores], axis=1)
+            buf_idx = jnp.concatenate([run_idx, g_idx], axis=1)
+            return _topk_merge(buf_vals, buf_idx, k)
+
+        run_vals, run_idx = jax.lax.fori_loop(
+            0, num_g_tiles, body, (run_vals, run_idx)
+        )
+        vals_ref[:] = run_vals
+        idx_ref[:] = run_idx
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "query_tile", "gallery_tile", "valid_gallery",
+                     "interpret"),
+)
+def topk_similarity_quantized(
+    queries: jax.Array,    # [Q, D] float
+    gallery_q: jax.Array,  # [G, D] int8 (quant.quantize_rows values)
+    scales: jax.Array,     # [G] float32 per-row scales
+    k: int = 10,
+    query_tile: int = 256,
+    gallery_tile: int = 512,
+    valid_gallery: int = 0,
+    interpret: bool = False,
+):
+    """Streaming top-k of ``(q_bf16 @ int8_g.T) * scales`` without
+    materializing the score matrix: the int8 composition of
+    ``topk_similarity`` (HBM traffic O(G*D) bytes instead of 4x that).
+    Same tiling/padding contract as ``topk_similarity``."""
+    q_count, dim = queries.shape
+    g_count = gallery_q.shape[0]
+    assert gallery_q.dtype == jnp.int8, gallery_q.dtype
+    assert q_count % query_tile == 0, (q_count, query_tile)
+    assert g_count % gallery_tile == 0, (g_count, gallery_tile)
+    num_g_tiles = g_count // gallery_tile
+
+    kernel = _make_quant_kernel(k, gallery_tile, num_g_tiles,
+                                valid_gallery or g_count)
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=(q_count // query_tile,),
+        out_shape=(
+            jax.ShapeDtypeStruct((q_count, k), jnp.float32),
+            jax.ShapeDtypeStruct((q_count, k), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(
+                (query_tile, dim), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # int8 gallery in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # per-row scales in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((query_tile, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((query_tile, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, gallery_tile, dim), jnp.int8),
+            pltpu.VMEM((2, gallery_tile), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(queries.astype(jnp.float32), gallery_q, scales.astype(jnp.float32))
+    return vals, idx
+
+
+def topk_similarity_quantized_padded(queries, gallery, k=10, query_tile=256,
+                                     gallery_tile=512, interpret=False):
+    """Pad-and-trim wrapper over ``topk_similarity_quantized``; ``gallery``
+    is an ``ops.quant.QuantizedGallery``."""
+    q_count = queries.shape[0]
+    g_count = gallery.values.shape[0]
+
+    def pad_rows(x, mult):
+        rem = (-x.shape[0]) % mult
+        if rem == 0:
+            return x
+        pad_shape = (rem,) + x.shape[1:]
+        return jnp.concatenate([x, jnp.zeros(pad_shape, x.dtype)], axis=0)
+
+    vals, idx = topk_similarity_quantized(
+        pad_rows(queries, query_tile),
+        pad_rows(gallery.values, gallery_tile),
+        pad_rows(gallery.scales, gallery_tile),
+        k, query_tile, gallery_tile,
+        valid_gallery=g_count,
+        interpret=interpret,
+    )
+    return vals[:q_count], idx[:q_count]
 
 
 def topk_similarity_padded(queries, gallery, k=10, query_tile=256,

@@ -51,6 +51,8 @@ class RetrievalIndex:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        # off-TPU the Pallas kernels run in interpret mode (tests/dev boxes)
+        self._interpret = jax.default_backend() != "tpu"
         # int8 gallery (ops/quant.py): 4x less HBM, int8 MXU scoring.
         # Single-device only (sharded galleries stay float for now).
         self.quantize = quantize and mesh is None
@@ -172,13 +174,29 @@ class RetrievalIndex:
                 use_pallas=self.use_pallas,
             )
         elif self.quantize:
-            from .ops.quant import quantized_topk
+            if self.use_pallas:
+                # streaming int8 kernel: 4x less HBM traffic, no QxG matrix
+                from .ops.ranking_pallas import (
+                    topk_similarity_quantized_padded,
+                )
 
-            vals, idx = quantized_topk(queries, self._quant_gallery, k)
+                vals, idx = topk_similarity_quantized_padded(
+                    queries, self._quant_gallery, k=k,
+                    interpret=self._interpret,
+                )
+            else:
+                from .ops.quant import quantized_topk
+
+                vals, idx = quantized_topk(
+                    queries, self._quant_gallery,
+                    min(k, int(self._quant_gallery.values.shape[0])),
+                )
         elif self.use_pallas:
             from .ops.ranking_pallas import topk_similarity_padded
 
-            vals, idx = topk_similarity_padded(queries, self.gallery, k=k)
+            vals, idx = topk_similarity_padded(
+                queries, self.gallery, k=k, interpret=self._interpret
+            )
         else:
             sim = queries @ self.gallery.T
             vals, idx = jax.lax.top_k(sim, min(k, int(sim.shape[1])))
