@@ -104,6 +104,30 @@ class _FakeState:
         return new
 
 
+class TestAsyncCheckpointer:
+    def test_async_save_then_load_roundtrip(self, tmp_path):
+        """async_save=True must overlap writes but synchronize on read —
+        a load right after save sees the committed tree."""
+        state = _FakeState({"w": np.full((4, 4), 3.5, np.float32)})
+        ck = Checkpointer(save_dir=str(tmp_path), async_save=True)
+        ck.save("best", {"params": state.params, "batch_stats": None,
+                         "constants": None, "key_params": None,
+                         "key_batch_stats": None, "step": 7}, epoch=3)
+        # immediate second save must serialize, not corrupt
+        ck.save("epoch_1", {"params": state.params, "batch_stats": None,
+                            "constants": None, "key_params": None,
+                            "key_batch_stats": None, "step": 8}, epoch=4)
+        assert ck.has_checkpoint("best") and ck.has_checkpoint("epoch_1")
+        target = _FakeState({"w": np.zeros((4, 4), np.float32)})
+        loaded = ck.load(str(tmp_path / "best"), target)
+        np.testing.assert_array_equal(np.asarray(loaded.params["w"]), 3.5)
+        import json
+
+        meta = json.loads((tmp_path / "best.meta.json").read_text())
+        assert meta["epoch"] == 3
+        ck.wait()
+
+
 class TestCheckpointerTolerantLoad:
     def test_load_renamed_checkpoint_aligns(self, tmp_path):
         import orbax.checkpoint as ocp

@@ -116,6 +116,48 @@ class TestRetrievalIndex:
         np.testing.assert_array_equal(m1, m2)
 
 
+class TestIndexPersistence:
+    def test_save_load_roundtrip(self, model_and_state, tmp_path):
+        """A replica booting from a saved index must answer identically to
+        the instance that built it — including the quantized form."""
+        model, state = model_and_state
+        built = RetrievalIndex(model, state, use_pallas=False, quantize=True)
+        built.build_gallery(_gallery_batches(n=10),
+                            meta=np.arange(300, 310))
+        path = str(tmp_path / "gallery.idx")
+        built.save_index(path)
+
+        booted = RetrievalIndex(model, state, use_pallas=False,
+                                quantize=True)
+        booted.load_index(path)
+        rng = np.random.RandomState(9)
+        token_ids = rng.randint(1, 30, (3, 8)).astype(np.int32)
+        lengths = np.full(3, 8, np.int32)
+        s1, m1 = built.search(token_ids, lengths, k=4)
+        s2, m2 = booted.search(token_ids, lengths, k=4)
+        np.testing.assert_allclose(s1, s2, atol=1e-6)
+        np.testing.assert_array_equal(m1, m2)
+
+    def test_load_onto_mesh_reshards(self, model_and_state, tmp_path):
+        model, state = model_and_state
+        built = RetrievalIndex(model, state, mesh=make_mesh(8),
+                               use_pallas=False)
+        built.build_gallery(_gallery_batches(n=10))  # padded 10 -> 16
+        path = str(tmp_path / "gallery.idx")
+        built.save_index(path)
+
+        booted = RetrievalIndex(model, state, mesh=make_mesh(8),
+                                use_pallas=False)
+        booted.load_index(path)
+        rng = np.random.RandomState(10)
+        token_ids = rng.randint(1, 30, (2, 8)).astype(np.int32)
+        lengths = np.full(2, 8, np.int32)
+        s1, m1 = built.search(token_ids, lengths, k=3)
+        s2, m2 = booted.search(token_ids, lengths, k=3)
+        np.testing.assert_allclose(s1, s2, atol=1e-6)
+        np.testing.assert_array_equal(m1, m2)
+
+
 class TestQuantizedGallery:
     def test_roundtrip_error_small(self):
         from textreid_tpu.ops.quant import dequantize_rows, quantize_rows

@@ -165,6 +165,11 @@ _C.TPU.GRU_PALLAS = False
 _C.TPU.DEVICE_PREP = True
 # Donate train-state buffers to the jitted step (saves HBM).
 _C.TPU.DONATE_STATE = True
+# Overlap checkpoint writes with training (orbax AsyncCheckpointer): the
+# epoch/best saves return immediately and commit in the background; loads
+# and process exit synchronize. False restores blocking torch.save-style
+# semantics.
+_C.TPU.ASYNC_CHECKPOINT = True
 # Rematerialize the query image-encoder forward in the backward pass
 # (jax.checkpoint): trades ~1 extra forward for dropping its activation
 # memory — enables much larger batches per chip.

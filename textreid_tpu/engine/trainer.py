@@ -154,6 +154,8 @@ def do_train(
         if checkpoint_period and epoch % checkpoint_period == 0:
             checkpointer.save(f"epoch_{epoch}", state, **arguments)
 
+    # commit any in-flight async checkpoint before declaring training done
+    checkpointer.wait()
     total_time = time.time() - start_training_time
     logger.info(
         "Total training time: %s (%.4f s / it)",

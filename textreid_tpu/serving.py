@@ -13,6 +13,7 @@ streaming Pallas top-k on TPU (never materializing queries x gallery) and
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -127,6 +128,58 @@ class RetrievalIndex:
             self.gallery = jax.device_put(
                 self.gallery, NamedSharding(self.mesh, P(DATA_AXIS))
             )
+
+    def save_index(self, path: str) -> None:
+        """Persist the encoded gallery (embeddings + metadata + int8 form)
+        so a serving replica can boot without re-encoding images."""
+        assert self.gallery is not None, "call build_gallery first"
+        payload = {
+            "gallery": np.asarray(self.gallery),
+            "meta": self.gallery_meta,
+            "augmented": np.asarray(self._augmented),
+        }
+        if self.quantize:
+            payload["quant_values"] = np.asarray(self._quant_gallery.values)
+            payload["quant_scales"] = np.asarray(self._quant_gallery.scales)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, path)  # atomic, same contract as checkpointing
+
+    def load_index(self, path: str) -> None:
+        """Load an index written by :meth:`save_index`.  Mesh-sharded
+        indexes re-shard onto this instance's mesh at load."""
+        data = np.load(path)
+        self.gallery_meta = data["meta"]
+        self._augmented = bool(data["augmented"])
+        gallery = jnp.asarray(data["gallery"])
+        if self.quantize and "quant_values" in data:
+            from .ops.quant import QuantizedGallery
+
+            self._quant_gallery = QuantizedGallery(
+                values=jnp.asarray(data["quant_values"]),
+                scales=jnp.asarray(data["quant_scales"]),
+            )
+        elif self.quantize:
+            from .ops.quant import quantize_rows
+
+            self._quant_gallery = quantize_rows(gallery)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .parallel.mesh import DATA_AXIS
+
+            n = self.mesh.shape[DATA_AXIS]
+            if gallery.shape[0] % n:
+                raise ValueError(
+                    f"index has {gallery.shape[0]} rows, not shardable over "
+                    f"{n} devices — it was saved from a differently-sized "
+                    f"mesh; rebuild with build_gallery"
+                )
+            gallery = jax.device_put(
+                gallery, NamedSharding(self.mesh, P(DATA_AXIS))
+            )
+        self.gallery = gallery
 
     # -- queries ----------------------------------------------------------
     def encode_queries(self, token_ids: np.ndarray,

@@ -156,13 +156,27 @@ class Checkpointer:
         save_dir: str = "",
         save_to_disk: Optional[bool] = None,
         logger: Optional[logging.Logger] = None,
+        async_save: bool = False,
     ):
+        """``async_save=True`` overlaps checkpoint serialization/writes with
+        subsequent training (orbax AsyncCheckpointer) instead of blocking
+        the step loop — the reference's ``torch.save`` blocks
+        (checkpoint.py:38-41).  Reads and subsequent saves synchronize via
+        ``wait()``; callers must ``wait()`` before process exit."""
         self.save_dir = os.path.abspath(save_dir) if save_dir else ""
         if save_to_disk is None:
             save_to_disk = jax.process_index() == 0
         self.save_to_disk = save_to_disk
         self.logger = logger or logging.getLogger("PersonSearch.checkpoint")
-        self._ckptr = ocp.PyTreeCheckpointer()
+        if async_save:
+            self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        else:
+            self._ckptr = ocp.PyTreeCheckpointer()
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has committed."""
+        if hasattr(self._ckptr, "wait_until_finished"):
+            self._ckptr.wait_until_finished()
 
     def _path(self, name: str) -> str:
         return os.path.join(self.save_dir, name)
@@ -183,6 +197,7 @@ class Checkpointer:
         path = self._path(name)
         if self.save_to_disk:
             self.logger.info("Saving checkpoint to %s", path)
+        self.wait()  # one in-flight async save at a time
         self._ckptr.save(path, jax.device_get(state), force=True)
         if self.save_to_disk:
             with open(path + ".meta.json", "w") as f:
@@ -223,6 +238,7 @@ class Checkpointer:
         """Weights-only tolerant load: raw-restore the checkpoint tree and
         align each weight collection onto ``state`` by longest-suffix key
         matching (unmatched leaves keep initialization, with warnings)."""
+        self.wait()
         raw = self._ckptr.restore(os.path.abspath(path))
         if not isinstance(raw, dict):
             raise TypeError(f"Unexpected checkpoint payload: {type(raw)}")
@@ -266,8 +282,10 @@ class Checkpointer:
     def _restore(self, path: str, state: Any) -> Any:
         path = os.path.abspath(path)
         self.logger.info("Loading checkpoint from %s", path)
+        self.wait()  # reads synchronize with in-flight saves
         target = jax.device_get(state)
         return self._ckptr.restore(path, item=target)
 
     def has_checkpoint(self, name: str) -> bool:
+        self.wait()
         return bool(self.save_dir) and os.path.isdir(self._path(name))

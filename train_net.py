@@ -158,7 +158,8 @@ def train(cfg, output_dir, resume_from, use_tensorboard):
     arguments = {"iteration": 0, "epoch": 0,
                  "max_epoch": cfg.SOLVER.NUM_EPOCHS}
 
-    checkpointer = Checkpointer(save_dir=output_dir)
+    checkpointer = Checkpointer(save_dir=output_dir,
+                                async_save=bool(cfg.TPU.ASYNC_CHECKPOINT))
 
     # Full-model warm start (reference train_net.py:64-68): orbax dir or
     # torch .pth both accepted.
