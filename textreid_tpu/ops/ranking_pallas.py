@@ -188,8 +188,11 @@ def _make_quant_kernel(k: int, gallery_tile: int, num_g_tiles: int,
             )
 
         def s_dma(slot, tile):
+            # scales ship as [1, G] and slice along the LANE dim: a 1-D f32
+            # HBM ref tiles at 1024 elements and a 512-row slice is
+            # misaligned (Mosaic rejects it — caught on-chip, round 3)
             return pltpu.make_async_copy(
-                s_hbm.at[pl.ds(tile * gallery_tile, gallery_tile)],
+                s_hbm.at[:, pl.ds(tile * gallery_tile, gallery_tile)],
                 s_scratch.at[slot],
                 s_sem.at[slot],
             )
@@ -218,7 +221,7 @@ def _make_quant_kernel(k: int, gallery_tile: int, num_g_tiles: int,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [Qt, Gt]
-            scores = raw * s_scratch[slot][None, :]
+            scores = raw * s_scratch[slot]  # [1, Gt] broadcasts over rows
             g_idx = tile * gallery_tile + jax.lax.broadcasted_iota(
                 jnp.int32, (qt, gallery_tile), 1
             )
@@ -286,12 +289,13 @@ def topk_similarity_quantized(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, gallery_tile, dim), jnp.int8),
-            pltpu.VMEM((2, gallery_tile), jnp.float32),
+            pltpu.VMEM((2, 1, gallery_tile), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(queries.astype(jnp.float32), gallery_q, scales.astype(jnp.float32))
+    )(queries.astype(jnp.float32), gallery_q,
+      scales.astype(jnp.float32)[None, :])
     return vals, idx
 
 
