@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Build and persist a serving retrieval index from a trained checkpoint.
+
+Completes the deployment workflow at CLI level: encode a dataset's gallery
+images through the visual tower once, L2-normalize, (optionally) quantize
+to int8, and write an atomic index file that serving replicas load with
+``RetrievalIndex.load_index`` — no re-encoding at boot.  The reference has
+no serving story at all (it stops at offline evaluation,
+`/root/reference/lib/engine/inference.py`).
+
+Usage:
+  python tools/build_index.py --root $ROOT \
+      --config-file configs/cuhkpedes/moco_gru_cliprn50_ls_bs128_2048.yaml \
+      --checkpoint-file output/.../best \
+      --output gallery.idx [--quantize] [--dataset cuhkpedes_test]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from textreid_tpu.utils.platform import ensure_platform  # noqa: E402
+
+ensure_platform()
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--root", default="./")
+    parser.add_argument("--config-file", required=True)
+    parser.add_argument("--checkpoint-file", required=True)
+    parser.add_argument("--output", required=True,
+                        help="index file to write (atomic)")
+    parser.add_argument("--quantize", action="store_true",
+                        help="also store the int8 per-row-scale form")
+    parser.add_argument("--dataset", default="",
+                        help="catalog name; default: first DATASETS.TEST")
+    parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+
+    import jax.numpy as jnp
+
+    from textreid_tpu.config import get_default_cfg
+    from textreid_tpu.data import make_data_loader
+    from textreid_tpu.engine import create_train_state
+    from textreid_tpu.models import build_model
+    from textreid_tpu.serving import RetrievalIndex
+    from textreid_tpu.solver import make_optimizer
+    from textreid_tpu.utils import Checkpointer, setup_logger
+    from textreid_tpu.utils.platform import compute_dtype
+    from textreid_tpu.utils.vocab import frozen_table_initializer
+    from textreid_tpu.utils.weight_convert import (
+        convert_textreid_checkpoint,
+        load_torch_state_dict,
+        merge_pretrained,
+    )
+
+    cfg = get_default_cfg()
+    cfg.merge_from_file(args.config_file)
+    cfg.merge_from_list(args.opts)
+    cfg.ROOT = args.root
+    if args.dataset:
+        cfg.DATASETS.TEST = (args.dataset,)
+    cfg.freeze()
+
+    logger = setup_logger("PersonSearch", "", jax.process_index())
+
+    loader = make_data_loader(cfg, is_train=False)[0]
+    sample = next(iter(loader))
+    sample.pop("valid", None)
+
+    model = build_model(cfg, frozen_table_initializer(cfg),
+                        dtype=compute_dtype(cfg))
+    tx = make_optimizer(cfg, jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.asarray(sample["pixels"]),
+        jnp.asarray(sample["token_ids"]), jnp.asarray(sample["lengths"]),
+        method="init_all"))()["params"])
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), sample)
+
+    if os.path.isdir(args.checkpoint_file):
+        state = Checkpointer().load(args.checkpoint_file, state)
+    else:
+        sd = load_torch_state_dict(args.checkpoint_file)
+        converted = convert_textreid_checkpoint(sd, cfg)
+        merged = merge_pretrained(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": converted["params"],
+             "batch_stats": converted["batch_stats"]},
+        )
+        state = state.replace(params=merged["params"],
+                              batch_stats=merged["batch_stats"])
+
+    index = RetrievalIndex(model, state, quantize=args.quantize)
+
+    # one gallery row per unique image (the eval protocol's dedupe,
+    # evaluation.py:113-115) — meta carries the image ids
+    seen = set()
+    batches, metas, cur_px, cur_ids = [], [], [], []
+    batch_size = cfg.TEST.IMS_PER_BATCH
+    for item_batch in loader:
+        valid = item_batch.get("valid")
+        n = int(valid.sum()) if valid is not None else len(
+            item_batch["image_ids"])
+        for i in range(n):
+            img_id = int(item_batch["image_ids"][i])
+            if img_id in seen:
+                continue
+            seen.add(img_id)
+            cur_px.append(np.asarray(item_batch["pixels"][i]))
+            cur_ids.append(img_id)
+            if len(cur_px) == batch_size:
+                batches.append(np.stack(cur_px))
+                metas.extend(cur_ids)
+                cur_px, cur_ids = [], []
+    if cur_px:  # pad the tail to the compiled batch shape, then trim meta
+        pad = batch_size - len(cur_px)
+        tail = np.stack(cur_px + [cur_px[-1]] * pad)
+        batches.append(tail)
+        metas.extend(cur_ids + [-1] * pad)
+
+    index.build_gallery(batches, meta=np.asarray(metas))
+    # drop pad rows before persisting
+    keep = index.gallery_meta >= 0
+    index.gallery = index.gallery[np.flatnonzero(keep)]
+    index.gallery_meta = index.gallery_meta[keep]
+    if args.quantize:
+        from textreid_tpu.ops.quant import quantize_rows
+
+        index._quant_gallery = quantize_rows(index.gallery)
+    index.save_index(args.output)
+    logger.info("Wrote %s: %d rows x %d dims%s", args.output,
+                index.gallery.shape[0], index.gallery.shape[1],
+                " (+int8)" if args.quantize else "")
+
+
+if __name__ == "__main__":
+    main()
