@@ -42,6 +42,8 @@ TOKENS = 105
 BASELINE_SECONDS = 5.0
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+# where BENCH_*.json artifacts land (tests point this at a tmp dir)
+OUT_DIR = os.environ.get("BENCH_OUT_DIR", REPO)
 
 # Peak dense matmul throughput per chip (bf16 FLOP/s; int8 is 2x on v5e).
 # Sources: public TPU spec sheets; keyed by substring of device_kind.
@@ -240,7 +242,7 @@ def bench_train_step():
         "peak_bf16_flops": peak_flops(),
     }
     # machine artifact for the judge (VERDICT round-1 item 4)
-    with open(os.path.join(REPO, "BENCH_TRAIN.json"), "w") as f:
+    with open(os.path.join(OUT_DIR, "BENCH_TRAIN.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
 
@@ -341,7 +343,7 @@ def bench_stages():
     for k, val in sorted(report.items()):
         log(f"{k}: {val:.4g}")
     report["peak_bf16_flops"] = peak_flops()
-    with open(os.path.join(REPO, "BENCH_STAGES.json"), "w") as f:
+    with open(os.path.join(OUT_DIR, "BENCH_STAGES.json"), "w") as f:
         json.dump({k: (round(v, 4) if isinstance(v, float) else v)
                    for k, v in report.items()}, f, indent=1)
     print(json.dumps({
@@ -457,7 +459,7 @@ def bench_serving():
         log(f"{name}: {secs * 1000:.3f} ms, {Q / secs:,.0f} qps, "
             f"{gal_bytes / secs / 1e9:.0f} GB/s")
 
-    with open(os.path.join(REPO, "BENCH_SERVING.json"), "w") as f:
+    with open(os.path.join(OUT_DIR, "BENCH_SERVING.json"), "w") as f:
         json.dump({k: (round(v, 4) if isinstance(v, float) else v)
                    for k, v in report.items()}, f, indent=1)
     print(json.dumps({
@@ -495,9 +497,13 @@ def run_headline():
     model = build_model(cfg, dtype=jnp.bfloat16)
     log(f"devices: {jax.devices()}")
 
-    pixels0 = jnp.zeros((BATCH, 384, 128, 3), jnp.uint8)
-    ids0 = jnp.zeros((BATCH, TOKENS), jnp.int32)
-    lens0 = jnp.full((BATCH,), 64, jnp.int32)
+    # Encode chunk size — an implementation choice, not part of the
+    # workload (which is fixed: the full 3074+6148 test set).
+    eb = int(os.environ.get("BENCH_ENCODE_BATCH", BATCH))
+
+    pixels0 = jnp.zeros((eb, 384, 128, 3), jnp.uint8)
+    ids0 = jnp.zeros((eb, TOKENS), jnp.int32)
+    lens0 = jnp.full((eb,), 64, jnp.int32)
 
     t0 = time.time()
     variables = jax.jit(
@@ -508,8 +514,8 @@ def run_headline():
     init_s = time.time() - t0
     log(f"jitted init: {init_s:.1f}s")
 
-    n_img_batches = -(-N_GALLERY // BATCH)
-    n_txt_batches = -(-N_QUERIES // BATCH)
+    n_img_batches = -(-N_GALLERY // eb)
+    n_txt_batches = -(-N_QUERIES // eb)
 
     @jax.jit
     def encode_gallery(variables, pixel_chunks):
@@ -551,13 +557,13 @@ def run_headline():
     host_rng = np.random.RandomState(0)
     # per-batch host chunks (the granularity the input pipeline ships)
     gallery_chunks = [
-        host_rng.randint(0, 255, (BATCH, 384, 128, 3), dtype=np.uint8)
+        host_rng.randint(0, 255, (eb, 384, 128, 3), dtype=np.uint8)
         for _ in range(n_img_batches)
     ]
     tokens_host = host_rng.randint(
-        1, 512, (n_txt_batches, BATCH, TOKENS)
+        1, 512, (n_txt_batches, eb, TOKENS)
     ).astype(np.int32)
-    lens_host = host_rng.randint(10, TOKENS, (n_txt_batches, BATCH)).astype(
+    lens_host = host_rng.randint(10, TOKENS, (n_txt_batches, eb)).astype(
         np.int32
     )
 
@@ -572,7 +578,7 @@ def run_headline():
     gal_dev = jax.jit(jnp.stack)(gal_dev_list)
     gal_dev.block_until_ready()
     h2d_s = time.time() - t0
-    log(f"H2D ({n_img_batches * BATCH} uint8 images): {h2d_s:.1f}s")
+    log(f"H2D ({n_img_batches * eb} uint8 images): {h2d_s:.1f}s")
 
     # Compile
     t0 = time.time()
@@ -608,12 +614,12 @@ def run_headline():
     t0 = time.time()
     row_max = np.asarray(full_retrieval(variables, gal_dev, tok_dev, len_dev))
     total = time.time() - t0
-    assert row_max.shape[0] == n_txt_batches * BATCH
+    assert row_max.shape[0] == n_txt_batches * eb
     assert np.isfinite(row_max).all()
 
-    log(f"device encode+similarity ({n_img_batches * BATCH} imgs, "
-        f"{n_txt_batches * BATCH} caps): {total:.3f}s "
-        f"({n_img_batches * BATCH / total:.0f} img/s equivalent)")
+    log(f"device encode+similarity ({n_img_batches * eb} imgs, "
+        f"{n_txt_batches * eb} caps): {total:.3f}s "
+        f"({n_img_batches * eb / total:.0f} img/s equivalent)")
     log(f"with unoverlapped H2D through the dev relay: {total + h2d_s:.3f}s")
 
     print(json.dumps({
@@ -640,9 +646,10 @@ MODES = {
                   "queries/s"),
 }
 
-ATTEMPTS = 3
-ATTEMPT_TIMEOUT_S = 2400  # compiles through the relay run several minutes
-BACKOFF_S = 30
+ATTEMPTS = int(os.environ.get("BENCH_ATTEMPTS", 3))
+# compiles through the relay run several minutes
+ATTEMPT_TIMEOUT_S = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", 2400))
+BACKOFF_S = float(os.environ.get("BENCH_BACKOFF_S", 30))
 
 
 def _last_json_line(text):
@@ -714,6 +721,13 @@ def main():
     argv = sys.argv[1:]
     mode = next((a for a in argv if a in MODES), "headline")
     if "--_once" in argv:
+        # honor an explicit JAX_PLATFORMS=cpu request: this container's
+        # sitecustomize forces the axon TPU plugin through jax.config,
+        # which silently overrides the env var (tests set it)
+        sys.path.insert(0, REPO)
+        from textreid_tpu.utils.platform import ensure_platform
+
+        ensure_platform()
         MODES[mode][0]()
     else:
         sys.exit(supervise(mode))
