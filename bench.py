@@ -143,9 +143,12 @@ def _timed_loop(fn, args, iters=200):
                 return l
 
             out = fn(*jax.tree.map(leaf, a))
-            first = jax.tree.leaves(out)[0]
-            return (jnp.sum(first.astype(jnp.float32)) * 1e-30).astype(
-                jnp.float32)
+            # consume EVERY output leaf: leaving one dead (e.g. top_k's
+            # indices) would let XLA specialize the op to a cheaper
+            # values-only form and bias cross-implementation comparisons
+            total = sum(jnp.sum(l.astype(jnp.float32))
+                        for l in jax.tree.leaves(out))
+            return (total * 1e-30).astype(jnp.float32)
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0),
                                  unroll=False)
@@ -685,7 +688,8 @@ def supervise(mode):
             log((e.stderr or b"").decode() if isinstance(e.stderr, bytes)
                 else (e.stderr or ""))
             log(errors[-1])
-            time.sleep(BACKOFF_S * attempt)
+            if attempt < ATTEMPTS:
+                time.sleep(BACKOFF_S * attempt)
             continue
         # forward the child's diagnostics (relay health etc.)
         if proc.stderr:

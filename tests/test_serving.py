@@ -138,6 +138,47 @@ class TestIndexPersistence:
         np.testing.assert_allclose(s1, s2, atol=1e-6)
         np.testing.assert_array_equal(m1, m2)
 
+    def test_cross_topology_roundtrip(self, model_and_state, tmp_path):
+        """An index built on a mesh whose padding augmented the features
+        ([G+pad, D+1]) must persist CLEAN and load onto a single-device
+        replica — the documented boot workflow (code-review finding r3)."""
+        model, state = model_and_state
+        built = RetrievalIndex(model, state, mesh=make_mesh(8),
+                               use_pallas=False)
+        built.build_gallery(_gallery_batches(n=10),
+                            meta=np.arange(400, 410))  # 10 -> padded 16
+        assert built._augmented
+        path = str(tmp_path / "gallery.idx")
+        built.save_index(path)
+
+        plain = RetrievalIndex(model, state, use_pallas=False)
+        plain.load_index(path)
+        assert plain.gallery.shape == (10, 16)  # clean rows, clean dims
+        rng = np.random.RandomState(11)
+        token_ids = rng.randint(1, 30, (2, 8)).astype(np.int32)
+        lengths = np.full(2, 8, np.int32)
+        s1, m1 = built.search(token_ids, lengths, k=3)
+        s2, m2 = plain.search(token_ids, lengths, k=3)
+        np.testing.assert_allclose(s1, s2, atol=1e-5)
+        np.testing.assert_array_equal(m1, m2)
+
+    def test_mesh_k_beyond_padded_rows(self, model_and_state):
+        """k larger than even the padded row count must return sentinels on
+        the mesh path, not raise 'top-k infeasible' (code-review finding)."""
+        model, state = model_and_state
+        index = RetrievalIndex(model, state, mesh=make_mesh(8),
+                               use_pallas=False)
+        index.build_gallery(_gallery_batches(n=10),
+                            meta=np.arange(500, 510))  # padded to 16 rows
+        rng = np.random.RandomState(12)
+        token_ids = rng.randint(1, 30, (2, 8)).astype(np.int32)
+        lengths = np.full(2, 8, np.int32)
+        scores, meta = index.search(token_ids, lengths, k=20)
+        assert scores.shape == (2, 20)
+        assert (meta[:, 10:] == -1).all()
+        assert (np.isinf(scores[:, 10:]) & (scores[:, 10:] < 0)).all()
+        assert set(meta[:, :10].ravel()) == set(range(500, 510))
+
     def test_load_onto_mesh_reshards(self, model_and_state, tmp_path):
         model, state = model_and_state
         built = RetrievalIndex(model, state, mesh=make_mesh(8),

@@ -103,40 +103,57 @@ class RetrievalIndex:
             from .ops.quant import quantize_rows
 
             self._quant_gallery = quantize_rows(self.gallery)
+        self._finalize_mesh_gallery()
+
+    def _finalize_mesh_gallery(self) -> None:
+        """Pad/augment and shard ``self.gallery`` over the mesh (no-op
+        single-device).  Called by both build_gallery and load_index so a
+        persisted index is always the CLEAN [G, D] matrix and topology
+        artifacts never leak between instances."""
         self._augmented = False
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        if self.mesh is None:
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from .parallel.mesh import DATA_AXIS
+        from .parallel.mesh import DATA_AXIS
 
-            n = self.mesh.shape[DATA_AXIS]
-            g, d = self.gallery.shape
-            if g % n:
-                # Pad with rows whose similarity is guaranteed below any
-                # cosine score: augment a feature column — real rows [g, 0],
-                # pad rows [0, -2], queries [q, 1] -> pad score = -2 < -1.
-                pad = n - g % n
-                real = jnp.concatenate(
-                    [self.gallery, jnp.zeros((g, 1), self.gallery.dtype)],
-                    axis=1,
-                )
-                pads = jnp.concatenate(
-                    [jnp.zeros((pad, d)), jnp.full((pad, 1), -2.0)], axis=1
-                )
-                self.gallery = jnp.concatenate([real, pads], axis=0)
-                self._augmented = True
-            self.gallery = jax.device_put(
-                self.gallery, NamedSharding(self.mesh, P(DATA_AXIS))
+        n = self.mesh.shape[DATA_AXIS]
+        g, d = self.gallery.shape
+        if g % n:
+            # Pad with rows whose similarity is guaranteed below any
+            # cosine score: augment a feature column — real rows [g, 0],
+            # pad rows [0, -2], queries [q, 1] -> pad score = -2 < -1.
+            pad = n - g % n
+            real = jnp.concatenate(
+                [self.gallery, jnp.zeros((g, 1), self.gallery.dtype)],
+                axis=1,
             )
+            pads = jnp.concatenate(
+                [jnp.zeros((pad, d)), jnp.full((pad, 1), -2.0)], axis=1
+            )
+            self.gallery = jnp.concatenate([real, pads], axis=0)
+            self._augmented = True
+        self.gallery = jax.device_put(
+            self.gallery, NamedSharding(self.mesh, P(DATA_AXIS))
+        )
+
+    def _clean_gallery(self) -> np.ndarray:
+        """The un-augmented [G, D] gallery regardless of mesh topology."""
+        gallery = np.asarray(self.gallery)
+        if self._augmented:
+            gallery = gallery[: len(self.gallery_meta), :-1]
+        return gallery
 
     def save_index(self, path: str) -> None:
         """Persist the encoded gallery (embeddings + metadata + int8 form)
-        so a serving replica can boot without re-encoding images."""
+        so a serving replica can boot without re-encoding images.  Always
+        stores the clean [G, D] matrix — mesh padding/augmentation is a
+        per-instance topology artifact, re-derived at load — so an index
+        built on any topology loads on any other."""
         assert self.gallery is not None, "call build_gallery first"
         payload = {
-            "gallery": np.asarray(self.gallery),
+            "gallery": self._clean_gallery(),
             "meta": self.gallery_meta,
-            "augmented": np.asarray(self._augmented),
         }
         if self.quantize:
             payload["quant_values"] = np.asarray(self._quant_gallery.values)
@@ -147,12 +164,12 @@ class RetrievalIndex:
         os.replace(tmp, path)  # atomic, same contract as checkpointing
 
     def load_index(self, path: str) -> None:
-        """Load an index written by :meth:`save_index`.  Mesh-sharded
-        indexes re-shard onto this instance's mesh at load."""
+        """Load an index written by :meth:`save_index` onto this instance's
+        topology (single-device or mesh — independent of where it was
+        built)."""
         data = np.load(path)
         self.gallery_meta = data["meta"]
-        self._augmented = bool(data["augmented"])
-        gallery = jnp.asarray(data["gallery"])
+        self.gallery = jnp.asarray(data["gallery"])
         if self.quantize and "quant_values" in data:
             from .ops.quant import QuantizedGallery
 
@@ -163,23 +180,8 @@ class RetrievalIndex:
         elif self.quantize:
             from .ops.quant import quantize_rows
 
-            self._quant_gallery = quantize_rows(gallery)
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from .parallel.mesh import DATA_AXIS
-
-            n = self.mesh.shape[DATA_AXIS]
-            if gallery.shape[0] % n:
-                raise ValueError(
-                    f"index has {gallery.shape[0]} rows, not shardable over "
-                    f"{n} devices — it was saved from a differently-sized "
-                    f"mesh; rebuild with build_gallery"
-                )
-            gallery = jax.device_put(
-                gallery, NamedSharding(self.mesh, P(DATA_AXIS))
-            )
-        self.gallery = gallery
+            self._quant_gallery = quantize_rows(self.gallery)
+        self._finalize_mesh_gallery()
 
     # -- queries ----------------------------------------------------------
     def encode_queries(self, token_ids: np.ndarray,
@@ -222,8 +224,12 @@ class RetrievalIndex:
                     [queries, jnp.ones((queries.shape[0], 1), queries.dtype)],
                     axis=1,
                 )
+            # clamp to the (padded) row count: requesting more is both
+            # infeasible per-shard and pointless — the sentinel padding
+            # below fills the remaining slots
             vals, idx = sharded_topk_retrieval(
-                self.mesh, queries, self.gallery, k=k,
+                self.mesh, queries, self.gallery,
+                k=min(k, int(self.gallery.shape[0])),
                 use_pallas=self.use_pallas,
             )
         elif self.quantize:

@@ -44,22 +44,11 @@ def main():
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
-    import jax.numpy as jnp
-
     from textreid_tpu.config import get_default_cfg
-    from textreid_tpu.data import make_data_loader
-    from textreid_tpu.engine import create_train_state
-    from textreid_tpu.models import build_model
     from textreid_tpu.serving import RetrievalIndex
-    from textreid_tpu.solver import make_optimizer
-    from textreid_tpu.utils import Checkpointer, setup_logger
+    from textreid_tpu.utils import setup_logger
+    from textreid_tpu.utils.bootstrap import build_eval_state
     from textreid_tpu.utils.platform import compute_dtype
-    from textreid_tpu.utils.vocab import frozen_table_initializer
-    from textreid_tpu.utils.weight_convert import (
-        convert_textreid_checkpoint,
-        load_torch_state_dict,
-        merge_pretrained,
-    )
 
     cfg = get_default_cfg()
     cfg.merge_from_file(args.config_file)
@@ -71,30 +60,10 @@ def main():
 
     logger = setup_logger("PersonSearch", "", jax.process_index())
 
-    loader = make_data_loader(cfg, is_train=False)[0]
-    sample = next(iter(loader))
-    sample.pop("valid", None)
-
-    model = build_model(cfg, frozen_table_initializer(cfg),
-                        dtype=compute_dtype(cfg))
-    tx = make_optimizer(cfg, jax.jit(lambda: model.init(
-        jax.random.PRNGKey(0), jnp.asarray(sample["pixels"]),
-        jnp.asarray(sample["token_ids"]), jnp.asarray(sample["lengths"]),
-        method="init_all"))()["params"])
-    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), sample)
-
-    if os.path.isdir(args.checkpoint_file):
-        state = Checkpointer().load(args.checkpoint_file, state)
-    else:
-        sd = load_torch_state_dict(args.checkpoint_file)
-        converted = convert_textreid_checkpoint(sd, cfg)
-        merged = merge_pretrained(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            {"params": converted["params"],
-             "batch_stats": converted["batch_stats"]},
-        )
-        state = state.replace(params=merged["params"],
-                              batch_stats=merged["batch_stats"])
+    model, state, loaders = build_eval_state(
+        cfg, checkpoint_file=args.checkpoint_file, dtype=compute_dtype(cfg)
+    )
+    loader = loaders[0]
 
     index = RetrievalIndex(model, state, quantize=args.quantize)
 

@@ -63,25 +63,15 @@ def main():
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
-    import jax.numpy as jnp
-
     from textreid_tpu.config import get_default_cfg
-    from textreid_tpu.data import make_data_loader
-    from textreid_tpu.engine import create_train_state
     from textreid_tpu.engine.inference import compute_embeddings
     from textreid_tpu.evaluation.metrics import (
         evaluation,
         format_results_table,
     )
-    from textreid_tpu.models import build_model
-    from textreid_tpu.solver import make_optimizer
     from textreid_tpu.utils import setup_logger
-    from textreid_tpu.utils.vocab import frozen_table_initializer
-    from textreid_tpu.utils.weight_convert import (
-        convert_textreid_checkpoint,
-        load_torch_state_dict,
-        merge_pretrained,
-    )
+    from textreid_tpu.utils.bootstrap import build_eval_state
+    from textreid_tpu.utils.weight_convert import load_torch_state_dict
 
     cfg = get_default_cfg()
     cfg.merge_from_file(args.config_file)
@@ -91,28 +81,15 @@ def main():
 
     logger = setup_logger("PersonSearch", "", 0)
 
-    loaders = make_data_loader(cfg, is_train=False)
-    sample = next(iter(loaders[0]))
-    sample.pop("valid", None)
-
-    model = build_model(cfg, frozen_table_initializer(cfg))
-    tx = make_optimizer(cfg, jax.jit(lambda: model.init(
-        jax.random.PRNGKey(0), jnp.asarray(sample["pixels"]),
-        jnp.asarray(sample["token_ids"]), jnp.asarray(sample["lengths"]),
-        method="init_all"))()["params"])
-    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), sample)
-
-    sd = load_torch_state_dict(args.checkpoint_file)
-    converted = convert_textreid_checkpoint(sd, cfg)
-    merged = merge_pretrained(
-        {"params": state.params, "batch_stats": state.batch_stats},
-        {"params": converted["params"],
-         "batch_stats": converted["batch_stats"]},
+    # f32 towers (bootstrap default): a parity gate wants exactness
+    model, state, loaders = build_eval_state(
+        cfg, checkpoint_file=args.checkpoint_file
     )
-    state = state.replace(params=merged["params"],
-                          batch_stats=merged["batch_stats"])
 
     if args.torch_compare:
+        sample = dict(next(iter(loaders[0])))
+        sample.pop("valid", None)
+        sd = load_torch_state_dict(args.checkpoint_file)
         _torch_tower_compare(cfg, model, state, sample, sd, logger)
 
     # Full protocol: both directions, with and without k-reciprocal rerank
