@@ -33,29 +33,66 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -3.0e38
 
 
-def _topk_merge(buf_vals, buf_idx, k):
-    """k-pass max/mask: extract the top-k of each row of ``buf_vals``.
+def _fold_tile(run_vals, run_idx, scores, g_idx, k):
+    """Fold one score tile into the sorted-descending running top-k.
 
-    Returns ([Qt, k] values, [Qt, k] int32 indices); uses only elementwise
-    ops and row reductions so it lowers to the VPU.
+    Expected-O(insertions) merge: each trip extracts the tile's per-row
+    max and inserts it into the sorted run at its exact position; the
+    loop exits as soon as NO row's best remaining candidate can enter its
+    run.  A tile at stream position t updates a row's top-k with
+    probability ~k/t (harmonic), so late tiles — the vast majority of a
+    large gallery — cost ~1 trip instead of the k fixed extraction
+    passes of the round-2 merge (which made the kernel merge-bound at
+    2.7 ms vs a ~0.15 ms DMA floor; see BENCH_SERVING.json).  Worst case
+    (adversarially ascending gallery) degrades to the old k passes.
+
+    Ordering is lexicographic (value desc, index desc): ties prefer the
+    larger gallery index, exactly like the round-2 merge.  ``run_vals``
+    must be sorted under that order on entry (it is produced sorted).
     """
-    out_vals = []
-    out_idx = []
-    for _ in range(k):
-        m = jnp.max(buf_vals, axis=1, keepdims=True)  # [Qt, 1]
-        is_max = buf_vals >= m
+    qt = scores.shape[0]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (qt, k), 1)
+
+    def cond(carry):
+        _, _, _, passes, go = carry
+        return jnp.logical_and(passes < k, go)
+
+    def body(carry):
+        run_vals, run_idx, scores, passes, _ = carry
+        m = jnp.max(scores, axis=1, keepdims=True)  # [Qt, 1]
         # largest index among the argmax ties
-        idx_of_max = jnp.max(
-            jnp.where(is_max, buf_idx, -1), axis=1, keepdims=True
+        im = jnp.max(jnp.where(scores >= m, g_idx, -1), axis=1,
+                     keepdims=True)
+        # insertion position under (val desc, idx desc)
+        ranks_above = jnp.logical_or(
+            run_vals > m, jnp.logical_and(run_vals == m, run_idx > im)
         )
-        out_vals.append(m)
-        out_idx.append(idx_of_max)
-        taken = is_max & (buf_idx == idx_of_max)
-        buf_vals = jnp.where(taken, NEG_INF, buf_vals)
-    return (
-        jnp.concatenate(out_vals, axis=1),
-        jnp.concatenate(out_idx, axis=1).astype(jnp.int32),
+        pos = jnp.sum(ranks_above.astype(jnp.int32), axis=1, keepdims=True)
+        # enter iff it outranks the k-th kept item (pos == k means even a
+        # value tie loses on index); m == NEG_INF rows are exhausted or
+        # padding
+        do = jnp.logical_and(pos < k, m > NEG_INF)  # [Qt, 1]
+        shift_vals = jnp.concatenate(
+            [run_vals[:, :1], run_vals[:, :-1]], axis=1)
+        shift_idx = jnp.concatenate(
+            [run_idx[:, :1], run_idx[:, :-1]], axis=1)
+        new_vals = jnp.where(
+            slot == pos, m, jnp.where(slot > pos, shift_vals, run_vals))
+        new_idx = jnp.where(
+            slot == pos, im, jnp.where(slot > pos, shift_idx, run_idx))
+        run_vals = jnp.where(do, new_vals, run_vals)
+        run_idx = jnp.where(do, new_idx, run_idx)
+        # retire the extracted lane; rows with do=False are permanently
+        # done (tau never decreases), so masking their max is harmless
+        # and lets `go` converge
+        scores = jnp.where(g_idx == im, NEG_INF, scores)
+        return run_vals, run_idx, scores, passes + 1, jnp.any(do)
+
+    run_vals, run_idx, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (run_vals, run_idx, scores, jnp.int32(0), jnp.bool_(True)),
     )
+    return run_vals, run_idx
 
 
 def _make_kernel(k: int, gallery_tile: int, num_g_tiles: int,
@@ -96,9 +133,7 @@ def _make_kernel(k: int, gallery_tile: int, num_g_tiles: int,
             )
             # gallery rows past the true count are padding: never selectable
             scores = jnp.where(g_idx < valid_gallery, scores, NEG_INF)
-            buf_vals = jnp.concatenate([run_vals, scores], axis=1)
-            buf_idx = jnp.concatenate([run_idx, g_idx], axis=1)
-            return _topk_merge(buf_vals, buf_idx, k)
+            return _fold_tile(run_vals, run_idx, scores, g_idx, k)
 
         run_vals, run_idx = jax.lax.fori_loop(
             0, num_g_tiles, body, (run_vals, run_idx)
@@ -226,9 +261,7 @@ def _make_quant_kernel(k: int, gallery_tile: int, num_g_tiles: int,
                 jnp.int32, (qt, gallery_tile), 1
             )
             scores = jnp.where(g_idx < valid_gallery, scores, NEG_INF)
-            buf_vals = jnp.concatenate([run_vals, scores], axis=1)
-            buf_idx = jnp.concatenate([run_idx, g_idx], axis=1)
-            return _topk_merge(buf_vals, buf_idx, k)
+            return _fold_tile(run_vals, run_idx, scores, g_idx, k)
 
         run_vals, run_idx = jax.lax.fori_loop(
             0, num_g_tiles, body, (run_vals, run_idx)
