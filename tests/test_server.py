@@ -1,0 +1,194 @@
+"""HTTP serving front tests: JSON API over a live ThreadingHTTPServer,
+cross-checked against direct RetrievalIndex.search results."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from textreid_tpu.engine.state import TrainState
+from textreid_tpu.models import BiGRUEncoder, TextReIDModel
+from textreid_tpu.models.m_resnet import ModifiedResNet
+from textreid_tpu.server import (
+    RetrievalService,
+    SimpleTokenizer,
+    make_server,
+)
+from textreid_tpu.serving import RetrievalIndex
+
+MAXLEN = 8
+
+
+@pytest.fixture(scope="module")
+def index():
+    model = TextReIDModel(
+        visual=ModifiedResNet(layers=(1, 1, 1, 1), output_dim=16, heads=4,
+                              last_stride=1, input_resolution=(32, 16),
+                              width=16),
+        textual=BiGRUEncoder(hidden_dim=8, vocab_size=30, embed_size=8),
+        feature_size=16, num_classes=4,
+    )
+    rng = np.random.RandomState(0)
+    pixels = jnp.asarray(rng.randint(0, 255, (2, 32, 16, 3), dtype=np.uint8))
+    ids = jnp.asarray(rng.randint(1, 30, (2, MAXLEN)).astype(np.int32))
+    lens = jnp.asarray([8, 4], dtype=jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), pixels, ids, lens,
+                           method="init_all")
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        constants=variables.get("constants", {}), opt_state=None,
+    )
+    idx = RetrievalIndex(model, state, query_batch=4, use_pallas=False)
+    batches = [rng.randint(0, 255, (5, 32, 16, 3), dtype=np.uint8)
+               for _ in range(2)]
+    idx.build_gallery(batches, meta=np.arange(100, 110))
+    return idx
+
+
+@pytest.fixture(scope="module")
+def server(index):
+    vocab = {f"word{i}": i for i in range(1, 30)}
+    service = RetrievalService(
+        index, max_text_length=MAXLEN,
+        tokenizer=SimpleTokenizer(vocab, unk_id=1))
+    srv = make_server(service)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    host, port = srv.server_address
+    yield f"http://{host}:{port}", service
+    srv.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/search", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def _post_expect_error(url, payload, path="/search"):
+    req = urllib.request.Request(
+        url + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req):
+            raise AssertionError("expected an HTTP error")
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+class TestSearchEndpoint:
+    def test_matches_direct_index_search(self, server, index):
+        url, _ = server
+        rng = np.random.RandomState(2)
+        token_ids = rng.randint(1, 30, (3, MAXLEN)).astype(np.int32)
+        lengths = [8, 5, 2]
+        status, body = _post(url, {"token_ids": token_ids.tolist(),
+                                   "lengths": lengths, "k": 4})
+        assert status == 200
+        want_scores, want_meta = index.search(
+            token_ids, np.asarray(lengths, np.int32), k=4)
+        np.testing.assert_allclose(
+            np.asarray(body["scores"], np.float32), want_scores, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(body["meta"]), want_meta)
+        assert body["latency_ms"] > 0
+
+    def test_ragged_rows_pad_to_fixed_shape(self, server, index):
+        """Wire rows shorter than max_text_length must behave exactly like
+        zero-padded fixed-shape rows (no per-length recompilation)."""
+        url, _ = server
+        status, body = _post(url, {"token_ids": [[5, 7, 9]], "k": 3})
+        assert status == 200
+        ids = np.zeros((1, MAXLEN), np.int32)
+        ids[0, :3] = [5, 7, 9]
+        want_scores, want_meta = index.search(
+            ids, np.asarray([3], np.int32), k=3)
+        np.testing.assert_allclose(
+            np.asarray(body["scores"], np.float32), want_scores, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(body["meta"]), want_meta)
+
+    def test_text_queries_via_tokenizer(self, server):
+        url, _ = server
+        status, body = _post(
+            url, {"queries": ["word3 word7 UNSEEN", "word9"], "k": 2})
+        assert status == 200
+        assert np.asarray(body["meta"]).shape == (2, 2)
+
+    def test_k_beyond_gallery_serializes_sentinels(self, server):
+        url, _ = server
+        status, body = _post(url, {"token_ids": [[4, 4]], "k": 12})
+        assert status == 200
+        assert body["meta"][0][10:] == [-1, -1]
+        assert body["scores"][0][10:] == [None, None]
+
+
+class TestValidation:
+    def test_bad_k(self, server):
+        url, _ = server
+        code, body = _post_expect_error(
+            url, {"token_ids": [[1, 2]], "k": 0})
+        assert code == 400 and "k must be" in body["error"]
+
+    def test_missing_fields(self, server):
+        url, _ = server
+        code, body = _post_expect_error(url, {"k": 3})
+        assert code == 400 and "token_ids or queries" in body["error"]
+
+    def test_length_exceeding_row(self, server):
+        url, _ = server
+        code, body = _post_expect_error(
+            url, {"token_ids": [[1, 2]], "lengths": [5]})
+        assert code == 400
+
+    def test_oversize_batch(self, server):
+        url, _ = server
+        code, body = _post_expect_error(
+            url, {"token_ids": [[1]] * 300})
+        assert code == 400 and "batch too large" in body["error"]
+
+    def test_empty_text_query(self, server):
+        url, _ = server
+        code, body = _post_expect_error(url, {"queries": ["!!!"]})
+        assert code == 400 and "no tokens" in body["error"]
+
+    def test_unknown_path_404(self, server):
+        url, _ = server
+        code, _ = _post_expect_error(url, {}, path="/nope")
+        assert code == 404
+
+
+class TestIntrospection:
+    def test_healthz(self, server):
+        url, _ = server
+        with urllib.request.urlopen(url + "/healthz") as resp:
+            body = json.loads(resp.read())
+        assert resp.status == 200
+        assert body["status"] == "ok" and body["gallery_rows"] == 10
+
+    def test_stats_track_requests_and_errors(self, server):
+        url, service = server
+        before = service.stats()["search"]
+        _post(url, {"token_ids": [[2, 3]], "k": 1})
+        stats = service.stats()
+        assert stats["search"] == before + 1
+        assert stats["latency_p50_ms"] is not None
+        assert stats["errors"] >= 1  # from the validation tests above
+
+    def test_unbuilt_index_is_503(self, index):
+        empty = RetrievalIndex(index.model, index.state, use_pallas=False)
+        service = RetrievalService(empty, max_text_length=MAXLEN)
+        srv = make_server(service)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        host, port = srv.server_address
+        code, body = _post_expect_error(
+            f"http://{host}:{port}", {"token_ids": [[1]]})
+        srv.shutdown()
+        assert code == 503 and "index not built" in body["error"]

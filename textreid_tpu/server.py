@@ -1,0 +1,231 @@
+"""HTTP serving front for online text -> person retrieval.
+
+The reference (BrandonHanx/TextReID) stops at offline evaluation
+(`/root/reference/test_net.py`); deploying the model as a service is left
+to the user.  This module is that missing piece: a dependency-free JSON
+HTTP front over :class:`textreid_tpu.serving.RetrievalIndex`.
+
+Design notes (TPU serving, not a general web framework):
+
+- ``ThreadingHTTPServer`` so request parsing/serialization overlaps device
+  compute, but all device work (text encode + top-k) serializes through a
+  single lock — one TPU device executes one program at a time anyway, and
+  serializing in the service keeps jit cache hits deterministic.
+- Queries are padded to a FIXED ``max_text_length`` and the index's fixed
+  query batch before they touch the device, so steady-state traffic never
+  recompiles (XLA would re-trace on any new shape).
+- The wire format is pre-tokenized ``token_ids`` (the reference's own
+  caption representation — its datasets ship `onehot` id lists,
+  `/root/reference/lib/data/datasets/cuhkpedes.py:42-47`).  A plain-text
+  ``queries`` field is accepted when the service was given a vocabulary
+  file (word -> id JSON); the tokenizer is a lowercase/punctuation-split
+  convenience, not a parity surface.
+
+Endpoints::
+
+    GET  /healthz   liveness + index shape
+    GET  /stats     request counters + latency percentiles
+    POST /search    {"token_ids": [[7, 3, ...], ...], "lengths": [...]?,
+                     "k": 10}
+                 or {"queries": ["a man in a red jacket", ...], "k": 10}
+    ->              {"scores": [[...]], "meta": [[...]], "latency_ms": m}
+
+Padded result slots (k > |gallery|) follow the index contract: score
+``-inf`` (serialized as null) and metadata ``-1``.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+import time
+from collections import deque
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+MAX_BATCH = 256  # per-request cap: bound device memory + pad waste
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+class SimpleTokenizer:
+    """Whitespace/punctuation tokenizer over a word -> id vocabulary.
+
+    Convenience for free-text queries; offline pipelines should send the
+    same token ids their captions were preprocessed with.
+    """
+
+    def __init__(self, vocab: dict, unk_id: int = 0):
+        self.vocab = {str(w).lower(): int(i) for w, i in vocab.items()}
+        self.unk_id = unk_id
+
+    @classmethod
+    def from_file(cls, path: str, unk_id: int = 0) -> "SimpleTokenizer":
+        with open(path) as f:
+            return cls(json.load(f), unk_id=unk_id)
+
+    def encode(self, text: str, max_length: int):
+        words = _TOKEN_RE.findall(text.lower())[:max_length]
+        ids = [self.vocab.get(w, self.unk_id) for w in words]
+        return ids
+
+
+class RetrievalService:
+    """Validated, fixed-shape, thread-safe facade over a RetrievalIndex."""
+
+    def __init__(self, index, max_text_length: int = 100,
+                 tokenizer: Optional[SimpleTokenizer] = None,
+                 default_k: int = 10):
+        self.index = index
+        self.max_text_length = int(max_text_length)
+        self.tokenizer = tokenizer
+        self.default_k = int(default_k)
+        self._lock = threading.Lock()
+        self._latencies_ms = deque(maxlen=1000)
+        self._counts = {"search": 0, "errors": 0}
+        self._started = time.time()
+
+    # -- request handling --------------------------------------------------
+    def search(self, payload: dict) -> dict:
+        token_ids, lengths = self._parse_queries(payload)
+        k = payload.get("k", self.default_k)
+        if not isinstance(k, int) or k < 1 or k > 1000:
+            raise ValueError("k must be an int in [1, 1000]")
+        t0 = time.time()
+        with self._lock:
+            scores, meta = self.index.search(token_ids, lengths, k=k)
+        ms = (time.time() - t0) * 1000
+        self._latencies_ms.append(ms)
+        self._counts["search"] += 1
+        return {
+            # -inf sentinels are not valid JSON numbers; ship null
+            "scores": [[None if not np.isfinite(v) else float(v)
+                        for v in row] for row in scores],
+            "meta": meta.tolist(),
+            "latency_ms": round(ms, 3),
+        }
+
+    def _parse_queries(self, payload: dict):
+        if "token_ids" in payload:
+            rows = payload["token_ids"]
+            if not isinstance(rows, list) or not rows:
+                raise ValueError("token_ids must be a non-empty list of "
+                                 "lists of ints")
+            if len(rows) > MAX_BATCH:
+                raise ValueError(f"batch too large (> {MAX_BATCH})")
+            lengths = payload.get("lengths")
+            if lengths is None:
+                lengths = [len(r) for r in rows]
+            if len(lengths) != len(rows):
+                raise ValueError("lengths must match token_ids rows")
+        elif "queries" in payload:
+            if self.tokenizer is None:
+                raise ValueError(
+                    "plain-text queries need a vocabulary file; start the "
+                    "server with --vocab-file or send token_ids")
+            texts = payload["queries"]
+            if not isinstance(texts, list) or not texts:
+                raise ValueError("queries must be a non-empty list of "
+                                 "strings")
+            if len(texts) > MAX_BATCH:
+                raise ValueError(f"batch too large (> {MAX_BATCH})")
+            rows = [self.tokenizer.encode(t, self.max_text_length)
+                    for t in texts]
+            for i, r in enumerate(rows):
+                if not r:
+                    raise ValueError(f"query {i} tokenized to no tokens")
+            lengths = [len(r) for r in rows]
+        else:
+            raise ValueError("payload needs token_ids or queries")
+
+        n, L = len(rows), self.max_text_length
+        ids = np.zeros((n, L), np.int32)
+        lens = np.zeros(n, np.int32)
+        for i, (row, ln) in enumerate(zip(rows, lengths)):
+            if not isinstance(ln, int) or ln < 1 or ln > len(row):
+                raise ValueError(
+                    f"row {i}: length must be an int in [1, len(token_ids)]")
+            if len(row) > L:
+                row, ln = row[:L], min(ln, L)
+            ids[i, : len(row)] = np.asarray(row, np.int32)
+            lens[i] = ln
+        return ids, lens
+
+    # -- introspection -----------------------------------------------------
+    def health(self) -> dict:
+        g = self.index.gallery
+        return {
+            "status": "ok" if g is not None else "no_index",
+            "gallery_rows": (len(self.index.gallery_meta)
+                             if g is not None else 0),
+            "uptime_s": round(time.time() - self._started, 1),
+        }
+
+    def stats(self) -> dict:
+        lat = sorted(self._latencies_ms)
+
+        def pct(p):
+            if not lat:
+                return None
+            return round(lat[min(len(lat) - 1, int(p * len(lat)))], 3)
+
+        return {
+            **self._counts,
+            "latency_p50_ms": pct(0.50),
+            "latency_p95_ms": pct(0.95),
+            "latency_p99_ms": pct(0.99),
+        }
+
+    def record_error(self):
+        self._counts["errors"] += 1
+
+
+def make_server(service: RetrievalService, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server; ``server.server_address``
+    carries the bound port when ``port=0``."""
+
+    class Handler(BaseHTTPRequestHandler):
+        # quiet the default per-request stderr lines
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _reply(self, code: int, body: dict):
+            raw = json.dumps(body).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(raw)))
+            self.end_headers()
+            self.wfile.write(raw)
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/healthz":
+                h = service.health()
+                self._reply(200 if h["status"] == "ok" else 503, h)
+            elif self.path == "/stats":
+                self._reply(200, service.stats())
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/search":
+                self._reply(404, {"error": f"unknown path {self.path}"})
+                return
+            if service.index.gallery is None:
+                service.record_error()
+                self._reply(503, {"error": "index not built"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(payload, dict):
+                    raise ValueError("payload must be a JSON object")
+                self._reply(200, service.search(payload))
+            except (ValueError, KeyError, TypeError) as e:
+                service.record_error()
+                self._reply(400, {"error": str(e)})
+
+    return ThreadingHTTPServer((host, port), Handler)

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Run the online text -> person retrieval service.
+
+Boots the towers from a checkpoint, loads (or builds) a gallery index, and
+serves JSON search over HTTP (`textreid_tpu/server.py`).  The reference
+stops at offline evaluation; this is the deployment end of the pipeline:
+
+  python tools/serve.py --root $ROOT \
+      --config-file configs/cuhkpedes/moco_gru_cliprn50_ls_bs128_2048.yaml \
+      --checkpoint-file output/.../best \
+      --index-file gallery.idx \
+      [--vocab-file word2id.json] [--port 8080] [--quantize]
+
+Then:
+  curl localhost:8080/healthz
+  curl -XPOST localhost:8080/search -d '{"token_ids": [[12, 7, 44]], "k": 5}'
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from textreid_tpu.utils.platform import ensure_platform  # noqa: E402
+
+ensure_platform()
+
+import jax  # noqa: E402
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--root", default="./")
+    parser.add_argument("--config-file", required=True)
+    parser.add_argument("--checkpoint-file", required=True)
+    parser.add_argument("--index-file", required=True,
+                        help="gallery index from tools/build_index.py")
+    parser.add_argument("--vocab-file", default="",
+                        help="word -> id JSON enabling plain-text queries")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--query-batch", type=int, default=64)
+    parser.add_argument("--quantize", action="store_true",
+                        help="serve int8 scoring (index must carry it or "
+                        "it is re-quantized at load)")
+    parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+
+    from textreid_tpu.config import get_default_cfg
+    from textreid_tpu.server import (
+        RetrievalService,
+        SimpleTokenizer,
+        make_server,
+    )
+    from textreid_tpu.serving import RetrievalIndex
+    from textreid_tpu.utils import setup_logger
+    from textreid_tpu.utils.bootstrap import build_eval_state
+    from textreid_tpu.utils.platform import compute_dtype
+
+    cfg = get_default_cfg()
+    cfg.merge_from_file(args.config_file)
+    cfg.merge_from_list(args.opts)
+    cfg.ROOT = args.root
+    cfg.freeze()
+
+    logger = setup_logger("PersonSearch", "", jax.process_index())
+
+    model, state, _ = build_eval_state(
+        cfg, checkpoint_file=args.checkpoint_file, dtype=compute_dtype(cfg)
+    )
+    index = RetrievalIndex(model, state, query_batch=args.query_batch,
+                           quantize=args.quantize)
+    index.load_index(args.index_file)
+    logger.info("Index: %d rows x %d dims", index.gallery.shape[0],
+                index.gallery.shape[1])
+
+    tokenizer = (SimpleTokenizer.from_file(args.vocab_file)
+                 if args.vocab_file else None)
+    service = RetrievalService(
+        index, max_text_length=cfg.INPUT.MAX_TEXT_LENGTH,
+        tokenizer=tokenizer)
+
+    # warm the jit caches before accepting traffic: first-query latency on
+    # TPU is a compile (~seconds), not a search
+    import numpy as np
+
+    warm_ids = np.ones((1, cfg.INPUT.MAX_TEXT_LENGTH), np.int32)
+    service.search({"token_ids": warm_ids.tolist(), "lengths": [1]})
+    logger.info("Warmup done")
+
+    server = make_server(service, host=args.host, port=args.port)
+    logger.info("Serving on http://%s:%d", *server.server_address)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        logger.info("Shutting down")
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()
