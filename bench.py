@@ -397,10 +397,10 @@ def bench_serving():
 
     xla_fn = jax.jit(lambda q, g: jax.lax.top_k(q @ g.T, K))
     pallas_fn = lambda q, g: topk_similarity(  # noqa: E731
-        q, g, k=K, query_tile=256, gallery_tile=512, interpret=interpret)
+        q, g, k=K, query_tile=256, gallery_tile=2048, interpret=interpret)
     int8_fn = lambda q: quantized_topk(q, qgal, K)  # noqa: E731
     int8s_fn = lambda q: topk_similarity_quantized(  # noqa: E731
-        q, qgal.values, qgal.scales, k=K, query_tile=256, gallery_tile=512,
+        q, qgal.values, qgal.scales, k=K, query_tile=256, gallery_tile=2048,
         interpret=interpret)
 
     # -- correctness cross-check (unperturbed inputs, host compare) --------

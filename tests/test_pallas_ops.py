@@ -92,6 +92,43 @@ class TestTopKPallas:
         v = np.asarray(vals)
         assert (np.diff(v, axis=1) <= 1e-6).all()
 
+    def test_k_equals_one(self):
+        """k=1 regression: the insertion-merge's shift slice is [Qt, 0] —
+        it must special-case instead of emitting an unlowerable vector."""
+        rng = np.random.RandomState(5)
+        q = rng.randn(8, 8).astype(np.float32)
+        g = rng.randn(24, 8).astype(np.float32)
+        vals, idx = topk_similarity(
+            jnp.asarray(q), jnp.asarray(g), k=1, query_tile=8,
+            gallery_tile=8, interpret=True,
+        )
+        want_vals, want_idx = self._oracle(q, g, 1)
+        np.testing.assert_allclose(np.asarray(vals), want_vals, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(idx), want_idx)
+
+    def test_bf16_compute_dtype_matches_xla_bf16(self):
+        """compute_dtype=bf16 must reproduce an XLA bf16-inputs /
+        f32-accumulate contraction's ranking."""
+        rng = np.random.RandomState(6)
+        q = rng.randn(8, 16).astype(np.float32)
+        g = rng.randn(32, 16).astype(np.float32)
+        k = 4
+        vals, idx = topk_similarity(
+            jnp.asarray(q), jnp.asarray(g), k=k, query_tile=8,
+            gallery_tile=8, interpret=True, compute_dtype=jnp.bfloat16,
+        )
+        sim = jax.lax.dot_general(
+            jnp.asarray(q).astype(jnp.bfloat16),
+            jnp.asarray(g).astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        want_vals, want_idx = jax.lax.top_k(sim, k)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(want_vals),
+                                   atol=1e-6)
+        picked = np.take_along_axis(np.asarray(sim), np.asarray(idx), axis=1)
+        np.testing.assert_allclose(picked, np.asarray(want_vals), atol=1e-6)
+
 
 class TestQuantizedTopKPallas:
     """Streaming int8 top-k: must reproduce the materializing

@@ -8,9 +8,14 @@ is the memory bottleneck: a million-image gallery against 6k queries is
 
 This kernel never materializes it.  The grid tiles the query axis; each
 program streams gallery tiles through VMEM, computes the score tile on the
-MXU, and folds it into a running top-k with a k-pass max/mask reduction
-(pure VPU ops — no sorts or gathers, which TPU lacks).  HBM traffic is
-O(Q*D + G*D + Q*k) instead of O(Q*G).
+MXU, and folds it into a running top-k with an expected-O(insertions)
+threshold-gated insertion loop (``_fold_tile`` — pure VPU ops; no sorts or
+gathers, which TPU lacks).  HBM traffic is O(Q*D + G*D + Q*k) instead of
+O(Q*G).  Tile defaults (query 256 x gallery 2048) are from an on-chip
+sweep (v5e, 98k x 256 gallery): large gallery tiles amortize the
+per-tile mandatory max-reduction, while large QUERY tiles hurt — the
+insertion loop trips scale with the max insertion count over the tile's
+rows — and small ones re-stream the gallery per extra grid program.
 
 ``topk_similarity_quantized`` is the int8 composition (gallery rows from
 ``ops/quant.py``): the gallery streams as int8 + per-row scales — 4x less
@@ -72,14 +77,17 @@ def _fold_tile(run_vals, run_idx, scores, g_idx, k):
         # value tie loses on index); m == NEG_INF rows are exhausted or
         # padding
         do = jnp.logical_and(pos < k, m > NEG_INF)  # [Qt, 1]
-        shift_vals = jnp.concatenate(
-            [run_vals[:, :1], run_vals[:, :-1]], axis=1)
-        shift_idx = jnp.concatenate(
-            [run_idx[:, :1], run_idx[:, :-1]], axis=1)
-        new_vals = jnp.where(
-            slot == pos, m, jnp.where(slot > pos, shift_vals, run_vals))
-        new_idx = jnp.where(
-            slot == pos, im, jnp.where(slot > pos, shift_idx, run_idx))
+        if k == 1:  # nothing to shift: a [Qt, 0] slice is not lowerable
+            new_vals, new_idx = m, im
+        else:
+            shift_vals = jnp.concatenate(
+                [run_vals[:, :1], run_vals[:, :-1]], axis=1)
+            shift_idx = jnp.concatenate(
+                [run_idx[:, :1], run_idx[:, :-1]], axis=1)
+            new_vals = jnp.where(
+                slot == pos, m, jnp.where(slot > pos, shift_vals, run_vals))
+            new_idx = jnp.where(
+                slot == pos, im, jnp.where(slot > pos, shift_idx, run_idx))
         run_vals = jnp.where(do, new_vals, run_vals)
         run_idx = jnp.where(do, new_idx, run_idx)
         # retire the extracted lane; rows with do=False are permanently
@@ -96,9 +104,9 @@ def _fold_tile(run_vals, run_idx, scores, g_idx, k):
 
 
 def _make_kernel(k: int, gallery_tile: int, num_g_tiles: int,
-                 valid_gallery: int):
+                 valid_gallery: int, compute_dtype):
     def kernel(q_ref, g_hbm, vals_ref, idx_ref, g_scratch, sem):
-        q = q_ref[:]  # [Qt, D]
+        q = q_ref[:].astype(compute_dtype)  # [Qt, D]
         qt = q.shape[0]
 
         def g_dma(slot, tile):
@@ -124,10 +132,10 @@ def _make_kernel(k: int, gallery_tile: int, num_g_tiles: int,
             g_dma(slot, tile).wait()
 
             scores = jax.lax.dot_general(
-                q, g_scratch[slot],
+                q, g_scratch[slot].astype(compute_dtype),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [Qt, Gt]
+            )  # [Qt, Gt] — f32 accumulation regardless of compute_dtype
             g_idx = tile * gallery_tile + jax.lax.broadcasted_iota(
                 jnp.int32, (qt, gallery_tile), 1
             )
@@ -147,22 +155,28 @@ def _make_kernel(k: int, gallery_tile: int, num_g_tiles: int,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "query_tile", "gallery_tile", "valid_gallery",
-                     "interpret"),
+                     "interpret", "compute_dtype"),
 )
 def topk_similarity(
     queries: jax.Array,  # [Q, D] (pre-normalized for cosine)
     gallery: jax.Array,  # [G, D]
     k: int = 10,
     query_tile: int = 256,
-    gallery_tile: int = 512,
+    gallery_tile: int = 2048,
     valid_gallery: int = 0,  # 0 = all rows valid; else rows >= this masked
     interpret: bool = False,
+    compute_dtype=jnp.float32,
 ):
     """Streaming top-k of ``queries @ gallery.T`` without materializing it.
 
     Q must be a multiple of ``query_tile`` and G of ``gallery_tile`` (use
     ``topk_similarity_padded`` otherwise).  Returns ([Q, k] scores,
     [Q, k] int32 gallery indices), rows sorted descending.
+
+    ``compute_dtype=jnp.bfloat16`` runs the MXU contraction in bf16 with
+    f32 accumulation — ~4x the f32 matmul rate on v5e; scores then match
+    an XLA bf16-inputs/f32-accumulate dot, not the f32 one.  f32 (default)
+    matches ``jax.lax.top_k(q @ g.T)`` index-exactly.
     """
     q_count, dim = queries.shape
     g_count = gallery.shape[0]
@@ -171,7 +185,7 @@ def topk_similarity(
     num_g_tiles = g_count // gallery_tile
 
     kernel = _make_kernel(k, gallery_tile, num_g_tiles,
-                          valid_gallery or g_count)
+                          valid_gallery or g_count, compute_dtype)
     vals, idx = pl.pallas_call(
         kernel,
         grid=(q_count // query_tile,),
@@ -283,7 +297,7 @@ def topk_similarity_quantized(
     scales: jax.Array,     # [G] float32 per-row scales
     k: int = 10,
     query_tile: int = 256,
-    gallery_tile: int = 512,
+    gallery_tile: int = 2048,
     valid_gallery: int = 0,
     interpret: bool = False,
 ):
@@ -333,7 +347,7 @@ def topk_similarity_quantized(
 
 
 def topk_similarity_quantized_padded(queries, gallery, k=10, query_tile=256,
-                                     gallery_tile=512, interpret=False):
+                                     gallery_tile=2048, interpret=False):
     """Pad-and-trim wrapper over ``topk_similarity_quantized``; ``gallery``
     is an ``ops.quant.QuantizedGallery``."""
     q_count = queries.shape[0]
@@ -358,7 +372,8 @@ def topk_similarity_quantized_padded(queries, gallery, k=10, query_tile=256,
 
 
 def topk_similarity_padded(queries, gallery, k=10, query_tile=256,
-                           gallery_tile=512, interpret=False):
+                           gallery_tile=2048, interpret=False,
+                           compute_dtype=jnp.float32):
     """Pad-and-trim wrapper for arbitrary Q/G.  Padded gallery rows are
     masked to ``NEG_INF`` *inside* the kernel (static ``valid_gallery``
     bound), so they can never displace real items."""
@@ -379,5 +394,6 @@ def topk_similarity_padded(queries, gallery, k=10, query_tile=256,
         k, query_tile, gallery_tile,
         valid_gallery=g_count,
         interpret=interpret,
+        compute_dtype=compute_dtype,
     )
     return vals[:q_count], idx[:q_count]
