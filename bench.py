@@ -292,6 +292,20 @@ def bench_stages():
     stage("visual_fwd", lambda v, x: visual.apply(v, x), (vvars, pixels),
           iters=50)
 
+    # int8-conv variant of the same tower (models/quant_tower.py): the
+    # serving/index-build encode option.  MFU reported against the bf16
+    # peak (int8 peak is 2x that on v5e, so ~0.9 here means ~0.45 of the
+    # int8 roofline).
+    def visual_int8(v, x):
+        import flax.linen as nn
+
+        from textreid_tpu.models.quant_tower import int8_conv_interceptor
+
+        with nn.intercept_methods(int8_conv_interceptor()):
+            return visual.apply(v, x)
+
+    stage("visual_fwd_int8", visual_int8, (vvars, pixels), iters=50)
+
     # ViT-B/16 tower at the same input (the BASELINE.json stretch backbone)
     vit = VisionTransformer(input_resolution=(384, 128), patch_size=16,
                             width=768, layers=12, heads=12, output_dim=512,

@@ -105,6 +105,25 @@ def main():
     lengths = np.array([16, 7], np.int32)
     scores, matches = index.search(token_ids, lengths, k=3)
     print("serving top-3 matches:", matches.tolist())
+
+    # --- or over HTTP (textreid_tpu/server.py; tools/serve.py for the CLI)
+    import json
+    import threading
+    import urllib.request
+
+    from textreid_tpu.server import RetrievalService, make_server
+
+    service = RetrievalService(index, max_text_length=16)
+    httpd = make_server(service)  # port=0 -> OS-assigned
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    host, port = httpd.server_address
+    req = urllib.request.Request(
+        f"http://{host}:{port}/search",
+        data=json.dumps({"token_ids": token_ids.tolist(),
+                         "lengths": lengths.tolist(), "k": 3}).encode())
+    with urllib.request.urlopen(req) as resp:
+        print("HTTP top-3 matches:", json.loads(resp.read())["meta"])
+    httpd.shutdown()
     print("quickstart OK")
 
 
