@@ -293,15 +293,20 @@ def bench_stages():
           iters=50)
 
     # int8-conv variant of the same tower (models/quant_tower.py): the
-    # serving/index-build encode option.  MFU reported against the bf16
-    # peak (int8 peak is 2x that on v5e, so ~0.9 here means ~0.45 of the
-    # int8 roofline).
+    # serving/index-build encode option.  Selective 3x3-only quantization
+    # (the encoder default) — quantizing the bandwidth-bound 1x1s costs
+    # more in quant/dequant passes than the int8 MXU rate returns.  MFU
+    # reported against the bf16 peak.
     def visual_int8(v, x):
         import flax.linen as nn
 
-        from textreid_tpu.models.quant_tower import int8_conv_interceptor
+        from textreid_tpu.models.quant_tower import (
+            SELECTIVE_THRESHOLD,
+            int8_conv_interceptor,
+        )
 
-        with nn.intercept_methods(int8_conv_interceptor()):
+        with nn.intercept_methods(
+                int8_conv_interceptor(SELECTIVE_THRESHOLD)):
             return visual.apply(v, x)
 
     stage("visual_fwd_int8", visual_int8, (vvars, pixels), iters=50)

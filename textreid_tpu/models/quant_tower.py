@@ -116,7 +116,15 @@ def int8_conv_interceptor(min_flops_per_byte: float = 0.0):
     return interceptor
 
 
-def int8_image_encoder(model, state):
+# Quantize convs with kh*kw*cout >= this (RN50: every 3x3 with >= 256
+# output channels; no 1x1 qualifies).  On-chip (v5e, bs128 384x128, same
+# run): bf16 13.87 ms, all-convs int8 13.37 ms (quant overhead eats the
+# MXU gain on bandwidth-bound 1x1s), 3x3-only 11.91 ms — the default.
+SELECTIVE_THRESHOLD = 2304
+
+
+def int8_image_encoder(model, state,
+                       min_flops_per_byte: float = SELECTIVE_THRESHOLD):
     """A jitted ``(state, pixels, erase) -> normalized embeddings`` image
     encoder with int8 convs — the drop-in quantized counterpart of the
     float encoder in ``serving.RetrievalIndex``."""
@@ -129,7 +137,8 @@ def int8_image_encoder(model, state):
             "batch_stats": state.batch_stats,
             "constants": state.constants,
         }
-        with nn.intercept_methods(int8_conv_interceptor()):
+        with nn.intercept_methods(
+                int8_conv_interceptor(min_flops_per_byte)):
             feat = model.apply(variables, pixels, erase=erase,
                                method="encode_image")
         emb = model.apply({"params": state.params}, feat,
