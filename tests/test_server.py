@@ -165,6 +165,51 @@ class TestValidation:
         assert code == 404
 
 
+class TestMicroBatcher:
+    def test_batched_results_match_inline(self, index):
+        """Concurrent requests through the micro-batcher must return
+        exactly what inline searches return, per-request k respected."""
+        inline = RetrievalService(index, max_text_length=MAXLEN)
+        batched = RetrievalService(index, max_text_length=MAXLEN,
+                                   batch_window_ms=150.0)
+        rng = np.random.RandomState(7)
+        payloads = [
+            {"token_ids": rng.randint(1, 30, (n, MAXLEN)).tolist(),
+             "k": k}
+            for n, k in [(1, 3), (2, 5), (1, 1), (3, 4)]
+        ]
+        want = [inline.search(p) for p in payloads]
+
+        got = [None] * len(payloads)
+
+        def run(i):
+            got[i] = batched.search(payloads[i])
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(payloads))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        for w, g in zip(want, got):
+            assert g is not None
+            np.testing.assert_array_equal(np.asarray(g["meta"]),
+                                          np.asarray(w["meta"]))
+            np.testing.assert_allclose(
+                np.asarray(g["scores"], np.float64),
+                np.asarray(w["scores"], np.float64), atol=1e-6)
+        # the 4 requests must have shared device batches (the window is
+        # far wider than the per-search latency on this tiny model)
+        assert batched.stats()["device_batches"] < len(payloads)
+
+    def test_batcher_propagates_search_errors(self, index):
+        empty = RetrievalIndex(index.model, index.state, use_pallas=False)
+        service = RetrievalService(empty, max_text_length=MAXLEN,
+                                   batch_window_ms=20.0)
+        with pytest.raises(AssertionError):
+            service.search({"token_ids": [[1, 2]]})
+
+
 class TestIntrospection:
     def test_healthz(self, server):
         url, _ = server

@@ -37,10 +37,12 @@ Padded result slots (k > |gallery|) follow the index contract: score
 from __future__ import annotations
 
 import json
+import queue as queue_mod
 import re
 import threading
 import time
 from collections import deque
+from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -74,29 +76,81 @@ class SimpleTokenizer:
 
 
 class RetrievalService:
-    """Validated, fixed-shape, thread-safe facade over a RetrievalIndex."""
+    """Validated, fixed-shape, thread-safe facade over a RetrievalIndex.
+
+    With ``batch_window_ms > 0`` a micro-batcher coalesces concurrent
+    requests into one device batch: the first request opens a window, any
+    request arriving within it joins the same ``index.search`` call, and
+    results are split back per request.  One dispatch serves many
+    single-query callers instead of each paying a full padded device
+    batch — the standard TPU serving pattern (device batches are cheap,
+    dispatches are not).  ``window=0`` (default) searches inline.
+    """
 
     def __init__(self, index, max_text_length: int = 100,
                  tokenizer: Optional[SimpleTokenizer] = None,
-                 default_k: int = 10):
+                 default_k: int = 10, batch_window_ms: float = 0.0):
         self.index = index
         self.max_text_length = int(max_text_length)
         self.tokenizer = tokenizer
         self.default_k = int(default_k)
         self._lock = threading.Lock()
         self._latencies_ms = deque(maxlen=1000)
-        self._counts = {"search": 0, "errors": 0}
+        self._counts = {"search": 0, "errors": 0, "device_batches": 0}
         self._started = time.time()
+        self.batch_window_ms = float(batch_window_ms)
+        self._queue: Optional[queue_mod.Queue] = None
+        if self.batch_window_ms > 0:
+            self._queue = queue_mod.Queue()
+            threading.Thread(target=self._batcher_loop, daemon=True).start()
 
     # -- request handling --------------------------------------------------
+    def _device_search(self, token_ids, lengths, k):
+        with self._lock:
+            self._counts["device_batches"] += 1
+            return self.index.search(token_ids, lengths, k=k)
+
+    def _batcher_loop(self):
+        while True:
+            first = self._queue.get()
+            pending = [first]
+            deadline = time.time() + self.batch_window_ms / 1000.0
+            while sum(p[0].shape[0] for p in pending) < MAX_BATCH:
+                wait = deadline - time.time()
+                if wait <= 0:
+                    break
+                try:
+                    pending.append(self._queue.get(timeout=wait))
+                except queue_mod.Empty:
+                    break
+            ids = np.concatenate([p[0] for p in pending])
+            lens = np.concatenate([p[1] for p in pending])
+            k_max = max(p[2] for p in pending)
+            try:
+                scores, meta = self._device_search(ids, lens, k_max)
+            except Exception as e:  # propagate to every waiting request
+                for p in pending:
+                    p[3].set_exception(e)
+                continue
+            row = 0
+            for p in pending:
+                n, k = p[0].shape[0], p[2]
+                p[3].set_result((scores[row:row + n, :k],
+                                 meta[row:row + n, :k]))
+                row += n
+
     def search(self, payload: dict) -> dict:
         token_ids, lengths = self._parse_queries(payload)
         k = payload.get("k", self.default_k)
         if not isinstance(k, int) or k < 1 or k > 1000:
             raise ValueError("k must be an int in [1, 1000]")
         t0 = time.time()
-        with self._lock:
-            scores, meta = self.index.search(token_ids, lengths, k=k)
+        if self._queue is not None:
+            fut: Future = Future()
+            self._queue.put((token_ids, lengths, k, fut))
+            scores, meta = fut.result()
+        else:
+            scores, meta = self._device_search(token_ids, lengths, k)
         ms = (time.time() - t0) * 1000
         self._latencies_ms.append(ms)
         self._counts["search"] += 1

@@ -41,6 +41,9 @@ def main():
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--query-batch", type=int, default=64)
+    parser.add_argument("--batch-window-ms", type=float, default=0.0,
+                        help="coalesce concurrent requests into one device "
+                        "batch within this window (0 = off)")
     parser.add_argument("--quantize", action="store_true",
                         help="serve int8 scoring (index must carry it or "
                         "it is re-quantized at load)")
@@ -79,7 +82,7 @@ def main():
                  if args.vocab_file else None)
     service = RetrievalService(
         index, max_text_length=cfg.INPUT.MAX_TEXT_LENGTH,
-        tokenizer=tokenizer)
+        tokenizer=tokenizer, batch_window_ms=args.batch_window_ms)
 
     # warm the jit caches before accepting traffic: first-query latency on
     # TPU is a compile (~seconds), not a search
