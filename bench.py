@@ -414,12 +414,14 @@ def bench_serving():
     jax.block_until_ready(qgal)
     log(f"gallery {G}x{D} f32 + int8 resident; {Q} queries, k={K}")
 
+    # tuned tile defaults, clamped so CPU smoke sizes still divide evenly
+    qt, gt = min(256, Q), min(2048, G)
     xla_fn = jax.jit(lambda q, g: jax.lax.top_k(q @ g.T, K))
     pallas_fn = lambda q, g: topk_similarity(  # noqa: E731
-        q, g, k=K, query_tile=256, gallery_tile=2048, interpret=interpret)
+        q, g, k=K, query_tile=qt, gallery_tile=gt, interpret=interpret)
     int8_fn = lambda q: quantized_topk(q, qgal, K)  # noqa: E731
     int8s_fn = lambda q: topk_similarity_quantized(  # noqa: E731
-        q, qgal.values, qgal.scales, k=K, query_tile=256, gallery_tile=2048,
+        q, qgal.values, qgal.scales, k=K, query_tile=qt, gallery_tile=gt,
         interpret=interpret)
 
     # -- correctness cross-check (unperturbed inputs, host compare) --------
