@@ -24,7 +24,8 @@ backoff, and ALWAYS prints exactly one JSON line on stdout — on total
 failure the line carries an ``"error"`` field instead of a value, so the
 driver artifact is never unparseable.
 
-Modes: (default) headline encode | --train | --stages | --serving.
+Modes: (default) headline encode | --train | --stages | --serving |
+--server (live HTTP stack end-to-end).
 """
 
 import json
@@ -99,7 +100,7 @@ def mfu(flops, seconds):
 # ---------------------------------------------------------------------------
 # timing helper
 # ---------------------------------------------------------------------------
-def _timed_loop(fn, args, iters=200):
+def _timed_loop(fn, args, iters=200, no_perturb=()):
     """Honest on-device timing through the relay: repeat the op inside ONE
     jitted fori_loop with a real data dependency between iterations (so XLA
     cannot hoist it), run it at two trip counts, and divide the wall-clock
@@ -142,7 +143,14 @@ def _timed_loop(fn, args, iters=200):
                     return jnp.roll(l, shift, axis=-1)
                 return l
 
-            out = fn(*jax.tree.map(leaf, a))
+            # `no_perturb` args pass through untouched: huge resident
+            # operands (a 1 GB gallery) must ride as ARGS — closed over,
+            # they serialize into the HLO as constants and the relay's
+            # compile endpoint rejects the body — but perturbing them
+            # would add a full extra HBM sweep per iteration.  They still
+            # cannot be hoisted: the perturbed args flow into the same op.
+            out = fn(*(a[i] if i in no_perturb else jax.tree.map(leaf, a[i])
+                       for i in range(len(a))))
             # consume EVERY output leaf: leaving one dead (e.g. top_k's
             # indices) would let XLA specialize the op to a cheaper
             # values-only form and bias cross-implementation comparisons
@@ -424,15 +432,44 @@ def bench_serving():
         q, qgal.values, qgal.scales, k=K, query_tile=qt, gallery_tile=gt,
         interpret=interpret)
 
+    # Above ~3 GB of materialized Q x G scores, the XLA/materializing
+    # comparison paths cannot run at all (that is the POINT of the
+    # streaming kernel) — switch to large-scale mode: exactness against a
+    # CHUNKED XLA reference (top_k per gallery chunk, host merge — exact),
+    # timing for the streaming paths only.
+    large_scale = 4 * Q * G > 3e9
+
+    def chunked_reference(k):
+        chunk = 98304
+        vals, idx = [], []
+        part = jax.jit(lambda q, g: jax.lax.top_k(q @ g.T, k))
+        for start in range(0, G, chunk):
+            v, i = part(queries, gallery[start:start + chunk])
+            vals.append(np.asarray(v))
+            idx.append(np.asarray(i) + start)
+        vals, idx = np.concatenate(vals, 1), np.concatenate(idx, 1)
+        order = np.argsort(-vals, axis=1, kind="stable")[:, :k]
+        return (np.take_along_axis(vals, order, axis=1),
+                np.take_along_axis(idx, order, axis=1))
+
     # -- correctness cross-check (unperturbed inputs, host compare) --------
-    xv, xi = map(np.asarray, xla_fn(queries, gallery))
+    if large_scale:
+        log(f"large-scale mode: {4 * Q * G / 1e9:.1f} GB similarity "
+            "matrix — materializing XLA paths skipped, chunked reference")
+        xv, xi = chunked_reference(K)
+    else:
+        xv, xi = map(np.asarray, xla_fn(queries, gallery))
     pv, pi = map(np.asarray, pallas_fn(queries, gallery))
-    iv, ii = map(np.asarray, int8_fn(queries))
     sv, si = map(np.asarray, int8s_fn(queries))
-    # streaming int8 must reproduce materializing int8 exactly
-    int8_stream_match = float(np.mean(si == ii))
-    assert int8_stream_match > 0.999, int8_stream_match
-    assert float(np.max(np.abs(sv - iv))) < 1e-5
+    if not large_scale:
+        iv, ii = map(np.asarray, int8_fn(queries))
+        # streaming int8 must reproduce materializing int8 exactly
+        int8_stream_match = float(np.mean(si == ii))
+        assert int8_stream_match > 0.999, int8_stream_match
+        assert float(np.max(np.abs(sv - iv))) < 1e-5
+    else:
+        iv, ii = sv, si
+        int8_stream_match = None
 
     idx_match = float(np.mean(pi == xi))
     score_err = float(np.max(np.abs(pv - xv)))
@@ -457,24 +494,34 @@ def bench_serving():
     # -- timing -------------------------------------------------------------
     report = {
         "gallery_rows": G, "dim": D, "queries": Q, "k": K,
+        "large_scale_mode": large_scale,
         "pallas_xla_index_match": idx_match,
         "pallas_xla_score_err": score_err,
         "int8_recall_at_k": int8_recall,
         "int8_score_err": int8_err,
         "int8_stream_index_match": int8_stream_match,
     }
-    # timing closures take only the queries: perturbing the gallery arg
-    # would add an extra G*D HBM round-trip per iteration (~0.3 ms at this
-    # size) and distort every path equally but wrongly
+    # The gallery (and int8 values/scales) ride as no_perturb ARGS: closed
+    # over they would serialize into the jitted loop's HLO as constants
+    # (the relay compile endpoint rejects 1 GB bodies — observed at the
+    # 983040-row scale run), and perturbing them would add a full extra
+    # HBM sweep per iteration.
     iters = 20 if interpret else 100
-    for name, fn, args, gal_bytes in (
-        ("xla_topk", lambda q: xla_fn(q, gallery), (queries,), G * D * 4),
-        ("pallas_topk", lambda q: pallas_fn(q, gallery), (queries,),
-         G * D * 4),
-        ("int8_topk", int8_fn, (queries,), G * D * 1),
-        ("int8_stream_topk", int8s_fn, (queries,), G * D * 1),
-    ):
-        secs = _timed_loop(fn, args, iters=iters)
+    paths = [
+        ("pallas_topk", pallas_fn, (queries, gallery), {1}, G * D * 4),
+        ("int8_stream_topk",
+         lambda q, v, s: topk_similarity_quantized(
+             q, v, s, k=K, query_tile=qt, gallery_tile=gt,
+             interpret=interpret),
+         (queries, qgal.values, qgal.scales), {1, 2}, G * D * 1),
+    ]
+    if not large_scale:
+        paths = [
+            ("xla_topk", xla_fn, (queries, gallery), {1}, G * D * 4),
+            ("int8_topk", int8_fn, (queries,), set(), G * D * 1),
+        ] + paths
+    for name, fn, args, no_perturb, gal_bytes in paths:
+        secs = _timed_loop(fn, args, iters=iters, no_perturb=no_perturb)
         report[f"{name}_ms"] = secs * 1000
         report[f"{name}_qps"] = Q / secs
         # the gallery read dominates HBM traffic; queries/outputs are noise
@@ -483,13 +530,141 @@ def bench_serving():
         log(f"{name}: {secs * 1000:.3f} ms, {Q / secs:,.0f} qps, "
             f"{gal_bytes / secs / 1e9:.0f} GB/s")
 
-    with open(os.path.join(OUT_DIR, "BENCH_SERVING.json"), "w") as f:
+    fname = ("BENCH_SERVING_LARGE.json" if large_scale
+             else "BENCH_SERVING.json")
+    with open(os.path.join(OUT_DIR, fname), "w") as f:
         json.dump({k: (round(v, 4) if isinstance(v, float) else v)
                    for k, v in report.items()}, f, indent=1)
     print(json.dumps({
-        "metric": "serving_topk_qps_100k_gallery",
+        "metric": (f"serving_topk_qps_{G // 1000}k_gallery"
+                   if large_scale else "serving_topk_qps_100k_gallery"),
         "value": round(report["pallas_topk_qps"], 1),
         "unit": "queries/s",
+        "vs_baseline": None,
+    }))
+
+
+# ---------------------------------------------------------------------------
+# --server
+# ---------------------------------------------------------------------------
+def bench_server():
+    """End-to-end HTTP serving benchmark (`bench.py --server`): the live
+    stack — JSON parse -> fixed-shape pad -> bi-GRU text encode ->
+    streaming Pallas top-k over a 98k x 256 gallery -> JSON — driven by
+    concurrent HTTP clients against ``textreid_tpu/server.py``, with the
+    cross-request micro-batcher on.  Writes BENCH_SERVER.json (throughput
+    + latency percentiles).  The query tower is the flagship text stack;
+    the gallery is injected as embeddings (image encode is an offline
+    index-build concern, measured by the headline/stages modes)."""
+    import concurrent.futures
+    import urllib.request
+
+    import jax
+    import jax.numpy as jnp
+
+    from textreid_tpu.engine.state import TrainState
+    from textreid_tpu.models import BiGRUEncoder, TextReIDModel
+    from textreid_tpu.models.losses import l2_normalize
+    from textreid_tpu.models.m_resnet import ModifiedResNet
+    from textreid_tpu.server import RetrievalService, make_server
+    from textreid_tpu.serving import RetrievalIndex
+
+    G = int(os.environ.get("BENCH_SERVER_G", 98304))
+    D = 256
+    N_REQ = int(os.environ.get("BENCH_SERVER_REQUESTS", 512))
+    CLIENTS = int(os.environ.get("BENCH_SERVER_CLIENTS", 16))
+    interpret = jax.default_backend() != "tpu"
+    if interpret:  # CPU smoke: keep the gallery interpretable-sized
+        G = min(G, 2048)
+        N_REQ = min(N_REQ, 32)
+
+    # Flagship TEXT stack (bi-GRU 512 over a 512-wide frozen table, 256-d
+    # embeddings); a tiny visual tower satisfies the composition contract
+    # but never runs — queries are text, the gallery is injected.
+    model = TextReIDModel(
+        visual=ModifiedResNet(layers=(1, 1, 1, 1), output_dim=256, heads=4,
+                              last_stride=1, input_resolution=(32, 16),
+                              width=16, dtype=jnp.bfloat16),
+        textual=BiGRUEncoder(hidden_dim=512, vocab_size=512, embed_size=512,
+                             use_onehot="clip_vit", allow_random_table=True,
+                             use_pallas=not interpret, dtype=jnp.bfloat16),
+        feature_size=256, num_classes=11003,
+    )
+    rng = np.random.RandomState(0)
+    pixels = jnp.asarray(rng.randint(0, 255, (2, 32, 16, 3), dtype=np.uint8))
+    ids0 = jnp.asarray(rng.randint(1, 512, (2, TOKENS)).astype(np.int32))
+    lens0 = jnp.asarray([TOKENS, 64], jnp.int32)
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), pixels, ids0, lens0, method="init_all"))()
+    jax.block_until_ready(variables)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        constants=variables.get("constants", {}), opt_state=None,
+    )
+
+    index = RetrievalIndex(model, state, query_batch=64)
+    index.gallery = l2_normalize(
+        jax.random.normal(jax.random.PRNGKey(1), (G, D), jnp.float32),
+        axis=1)
+    index.gallery_meta = np.arange(G)
+    index._augmented = False
+    log(f"gallery {G}x{D} injected; text tower "
+        f"{'XLA-interpret' if interpret else 'Pallas'}")
+
+    service = RetrievalService(index, max_text_length=TOKENS,
+                               batch_window_ms=3.0)
+    httpd = make_server(service)
+    import threading
+
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    host, port = httpd.server_address
+    url = f"http://{host}:{port}/search"
+
+    def one_request(i):
+        r = np.random.RandomState(i)
+        payload = json.dumps({
+            "token_ids": [r.randint(1, 512, r.randint(8, TOKENS)).tolist()],
+            "k": 10,
+        }).encode()
+        req = urllib.request.Request(url, data=payload)
+        t0 = time.time()
+        with urllib.request.urlopen(req) as resp:
+            body = json.loads(resp.read())
+        assert len(body["meta"][0]) == 10
+        return (time.time() - t0) * 1000
+
+    # warmup: compile text encode (batcher path) + top-k
+    for i in range(3):
+        one_request(10000 + i)
+    log("warmup done; firing load")
+
+    t0 = time.time()
+    with concurrent.futures.ThreadPoolExecutor(CLIENTS) as pool:
+        lat = list(pool.map(one_request, range(N_REQ)))
+    wall = time.time() - t0
+    lat.sort()
+
+    def pct(p):
+        return round(lat[min(len(lat) - 1, int(p * len(lat)))], 2)
+
+    report = {
+        "gallery_rows": G, "requests": N_REQ, "clients": CLIENTS,
+        "batch_window_ms": 3.0,
+        "qps": round(N_REQ / wall, 1),
+        "latency_p50_ms": pct(0.50),
+        "latency_p95_ms": pct(0.95),
+        "latency_p99_ms": pct(0.99),
+        "device_batches": service.stats()["device_batches"],
+    }
+    httpd.shutdown()
+    log(json.dumps(report))
+    with open(os.path.join(OUT_DIR, "BENCH_SERVER.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({
+        "metric": "server_http_qps_98k_gallery",
+        "value": report["qps"],
+        "unit": "requests/s",
         "vs_baseline": None,
     }))
 
@@ -668,6 +843,8 @@ MODES = {
     "--stages": (bench_stages, "visual_fwd_ms_bs128", "ms"),
     "--serving": (bench_serving, "serving_topk_qps_100k_gallery",
                   "queries/s"),
+    "--server": (bench_server, "server_http_qps_98k_gallery",
+                 "requests/s"),
 }
 
 ATTEMPTS = int(os.environ.get("BENCH_ATTEMPTS", 3))
