@@ -192,8 +192,15 @@ class RetrievalIndex:
 
     # -- queries ----------------------------------------------------------
     def encode_queries(self, token_ids: np.ndarray,
-                       lengths: np.ndarray) -> jax.Array:
-        """Tokenized queries -> normalized embeddings, fixed-batch padded."""
+                       lengths: np.ndarray) -> np.ndarray:
+        """Tokenized queries -> normalized embeddings [N, D] (numpy).
+
+        Every DEVICE shape here is fixed ([query_batch, L] chunks); all
+        variable-N slicing happens in numpy on the host.  A jax-level
+        slice per distinct residual N would compile a new executable per
+        request-batch size — observed as multi-second p95 latencies
+        through the remote-compile relay (bench.py --server, round 3).
+        """
         n = token_ids.shape[0]
         bs = self.query_batch
         out = []
@@ -208,8 +215,8 @@ class RetrievalIndex:
             emb = self._encode_texts(
                 self.state, jnp.asarray(ids), jnp.asarray(lens)
             )
-            out.append(emb[: bs - pad] if pad else emb)
-        return jnp.concatenate(out, axis=0)
+            out.append(np.asarray(emb))  # full fixed-shape chunk
+        return np.concatenate(out, axis=0)[:n]
 
     def search(self, token_ids: np.ndarray, lengths: np.ndarray,
                k: int = 10):
@@ -222,6 +229,20 @@ class RetrievalIndex:
         assert self.gallery is not None, "call build_gallery first"
         queries = self.encode_queries(token_ids, lengths)
         n_real = len(self.gallery_meta)
+        n_q = queries.shape[0]
+        # Canonicalize the query count to 256-row buckets (the kernel's
+        # query tile) IN NUMPY, and slice results back in numpy: letting a
+        # raw N reach the device ops compiles a new executable per
+        # distinct request-batch size (multi-second p95 through the
+        # remote-compile relay; bench.py --server).  Zero-pad rows rank
+        # arbitrarily and are sliced off below.
+        bucket = 256
+        q_pad = -(-n_q // bucket) * bucket
+        if q_pad != n_q:
+            queries = np.concatenate(
+                [queries, np.zeros((q_pad - n_q, queries.shape[1]),
+                                   queries.dtype)])
+        queries = jnp.asarray(queries)
 
         if self.mesh is not None:
             from .evaluation.retrieval import sharded_topk_retrieval
@@ -267,7 +288,7 @@ class RetrievalIndex:
             sim = queries @ self.gallery.T
             vals, idx = jax.lax.top_k(sim, min(k, int(sim.shape[1])))
 
-        vals, idx_np = np.asarray(vals), np.asarray(idx)
+        vals, idx_np = np.asarray(vals)[:n_q], np.asarray(idx)[:n_q]
         if vals.shape[1] < k:  # XLA top_k caps at the gallery size
             pad = k - vals.shape[1]
             vals = np.pad(vals, ((0, 0), (0, pad)),
