@@ -523,6 +523,11 @@ def bench_serving():
     for name, fn, args, no_perturb, gal_bytes in paths:
         secs = _timed_loop(fn, args, iters=iters, no_perturb=no_perturb)
         report[f"{name}_ms"] = secs * 1000
+        if secs <= 0:  # relay timing jitter can make the clamped
+            # difference 0 — report the degenerate measurement, don't die
+            report[f"{name}_qps"] = None
+            log(f"{name}: degenerate 0-ms measurement (relay jitter)")
+            continue
         report[f"{name}_qps"] = Q / secs
         # the gallery read dominates HBM traffic; queries/outputs are noise
         report[f"{name}_hbm_gbps"] = gal_bytes / secs / 1e9

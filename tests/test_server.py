@@ -165,6 +165,39 @@ class TestValidation:
         assert code == 404
 
 
+class TestErrorPaths:
+    def test_device_error_returns_500(self, index, monkeypatch):
+        """A runtime error from the device path must surface as HTTP 500
+        with the error recorded, not a dropped socket."""
+        service = RetrievalService(index, max_text_length=MAXLEN)
+        monkeypatch.setattr(
+            service.index, "search",
+            lambda *a, **k: (_ for _ in ()).throw(RuntimeError("ABORTED")))
+        srv = make_server(service)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        host, port = srv.server_address
+        code, body = _post_expect_error(
+            f"http://{host}:{port}", {"token_ids": [[1, 2]]})
+        srv.shutdown()
+        assert code == 500 and "ABORTED" in body["error"]
+        assert service.stats()["errors"] >= 1
+
+
+class TestKBucketing:
+    def test_k_between_buckets_trims_exactly(self, server, index):
+        """k=7 searches at the 10-bucket and trims; results must equal a
+        direct k=7 search."""
+        url, _ = server
+        rng = np.random.RandomState(21)
+        token_ids = rng.randint(1, 30, (2, MAXLEN)).astype(np.int32)
+        status, body = _post(url, {"token_ids": token_ids.tolist(), "k": 7})
+        assert status == 200
+        assert np.asarray(body["meta"]).shape == (2, 7)
+        want_scores, want_meta = index.search(
+            token_ids, np.full(2, MAXLEN, np.int32), k=7)
+        np.testing.assert_array_equal(np.asarray(body["meta"]), want_meta)
+
+
 class TestMicroBatcher:
     def test_batched_results_match_inline(self, index):
         """Concurrent requests through the micro-batcher must return

@@ -179,6 +179,40 @@ class TestIndexPersistence:
         assert (np.isinf(scores[:, 10:]) & (scores[:, 10:] < 0)).all()
         assert set(meta[:, :10].ravel()) == set(range(500, 510))
 
+    def test_legacy_augmented_format_loads_clean(self, model_and_state,
+                                                 tmp_path):
+        """Indexes persisted by the pre-refactor save_index stored the mesh
+        topology artifact ([G+pad, D+1] + an 'augmented' flag); load_index
+        must strip it back to the clean matrix instead of serving a
+        shape-mismatched gallery (code-review finding)."""
+        model, state = model_and_state
+        ref = RetrievalIndex(model, state, use_pallas=False)
+        ref.build_gallery(_gallery_batches(n=10), meta=np.arange(700, 710))
+        clean = np.asarray(ref.gallery)  # [10, 16]
+        # forge the legacy layout: 6 pad rows, one augmented column
+        aug = np.concatenate([clean, np.zeros((10, 1), clean.dtype)], axis=1)
+        pads = np.concatenate(
+            [np.zeros((6, 16)), np.full((6, 1), -2.0)], axis=1
+        ).astype(clean.dtype)
+        legacy_path = str(tmp_path / "legacy.idx")
+        np.savez(legacy_path.replace(".idx", ""),
+                 gallery=np.concatenate([aug, pads]),
+                 meta=np.arange(700, 710), augmented=np.asarray(True))
+        import os
+
+        os.rename(legacy_path.replace(".idx", "") + ".npz", legacy_path)
+
+        loaded = RetrievalIndex(model, state, use_pallas=False)
+        loaded.load_index(legacy_path)
+        assert loaded.gallery.shape == (10, 16)
+        rng = np.random.RandomState(13)
+        token_ids = rng.randint(1, 30, (2, 8)).astype(np.int32)
+        lengths = np.full(2, 8, np.int32)
+        s1, m1 = ref.search(token_ids, lengths, k=3)
+        s2, m2 = loaded.search(token_ids, lengths, k=3)
+        np.testing.assert_allclose(s1, s2, atol=1e-5)
+        np.testing.assert_array_equal(m1, m2)
+
     def test_load_onto_mesh_reshards(self, model_and_state, tmp_path):
         model, state = model_and_state
         built = RetrievalIndex(model, state, mesh=make_mesh(8),

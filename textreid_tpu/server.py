@@ -49,6 +49,9 @@ from typing import Optional
 import numpy as np
 
 MAX_BATCH = 256  # per-request cap: bound device memory + pad waste
+# canonical k values actually compiled (requests trim down from the next
+# bucket on the host); ordered ascending
+K_BUCKETS = (10, 100, 1000)
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
@@ -94,7 +97,8 @@ class RetrievalService:
         self.max_text_length = int(max_text_length)
         self.tokenizer = tokenizer
         self.default_k = int(default_k)
-        self._lock = threading.Lock()
+        self._lock = threading.Lock()        # serializes device work
+        self._stats_lock = threading.Lock()  # counters: += is not atomic
         self._latencies_ms = deque(maxlen=1000)
         self._counts = {"search": 0, "errors": 0, "device_batches": 0}
         self._started = time.time()
@@ -106,23 +110,38 @@ class RetrievalService:
 
     # -- request handling --------------------------------------------------
     def _device_search(self, token_ids, lengths, k):
+        # k is a static compile parameter downstream (jax.lax.top_k /
+        # Pallas static_argnames): a client sweeping k would compile a new
+        # program per value, multi-second each through a remote-compile
+        # relay.  Search at the next canonical bucket and trim on the
+        # host, so at most len(K_BUCKETS) ranking programs ever exist.
+        k_run = next(b for b in K_BUCKETS if b >= k)
         with self._lock:
             self._counts["device_batches"] += 1
-            return self.index.search(token_ids, lengths, k=k)
+            scores, meta = self.index.search(token_ids, lengths, k=k_run)
+        return scores[:, :k], meta[:, :k]
 
     def _batcher_loop(self):
+        carry = None  # a request that would have overflowed the last batch
         while True:
-            first = self._queue.get()
+            first = carry if carry is not None else self._queue.get()
+            carry = None
             pending = [first]
+            total = first[0].shape[0]
             deadline = time.time() + self.batch_window_ms / 1000.0
-            while sum(p[0].shape[0] for p in pending) < MAX_BATCH:
+            while total < MAX_BATCH:
                 wait = deadline - time.time()
                 if wait <= 0:
                     break
                 try:
-                    pending.append(self._queue.get(timeout=wait))
+                    item = self._queue.get(timeout=wait)
                 except queue_mod.Empty:
                     break
+                if total + item[0].shape[0] > MAX_BATCH:
+                    carry = item  # opens the next batch, never overshoot
+                    break
+                pending.append(item)
+                total += item[0].shape[0]
             ids = np.concatenate([p[0] for p in pending])
             lens = np.concatenate([p[1] for p in pending])
             k_max = max(p[2] for p in pending)
@@ -142,8 +161,8 @@ class RetrievalService:
     def search(self, payload: dict) -> dict:
         token_ids, lengths = self._parse_queries(payload)
         k = payload.get("k", self.default_k)
-        if not isinstance(k, int) or k < 1 or k > 1000:
-            raise ValueError("k must be an int in [1, 1000]")
+        if not isinstance(k, int) or k < 1 or k > K_BUCKETS[-1]:
+            raise ValueError(f"k must be an int in [1, {K_BUCKETS[-1]}]")
         t0 = time.time()
         if self._queue is not None:
             fut: Future = Future()
@@ -152,8 +171,9 @@ class RetrievalService:
         else:
             scores, meta = self._device_search(token_ids, lengths, k)
         ms = (time.time() - t0) * 1000
-        self._latencies_ms.append(ms)
-        self._counts["search"] += 1
+        with self._stats_lock:
+            self._latencies_ms.append(ms)
+            self._counts["search"] += 1
         return {
             # -inf sentinels are not valid JSON numbers; ship null
             "scores": [[None if not np.isfinite(v) else float(v)
@@ -219,7 +239,9 @@ class RetrievalService:
         }
 
     def stats(self) -> dict:
-        lat = sorted(self._latencies_ms)
+        with self._stats_lock:
+            lat = sorted(self._latencies_ms)
+            counts = dict(self._counts)
 
         def pct(p):
             if not lat:
@@ -227,14 +249,15 @@ class RetrievalService:
             return round(lat[min(len(lat) - 1, int(p * len(lat)))], 3)
 
         return {
-            **self._counts,
+            **counts,
             "latency_p50_ms": pct(0.50),
             "latency_p95_ms": pct(0.95),
             "latency_p99_ms": pct(0.99),
         }
 
     def record_error(self):
-        self._counts["errors"] += 1
+        with self._stats_lock:
+            self._counts["errors"] += 1
 
 
 def make_server(service: RetrievalService, host: str = "127.0.0.1",
@@ -281,5 +304,10 @@ def make_server(service: RetrievalService, host: str = "127.0.0.1",
             except (ValueError, KeyError, TypeError) as e:
                 service.record_error()
                 self._reply(400, {"error": str(e)})
+            except Exception as e:  # device/runtime errors (e.g. a relay
+                # ABORTED, possibly re-raised from the batcher future):
+                # the client must get an HTTP 500, not a dropped socket
+                service.record_error()
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
     return ThreadingHTTPServer((host, port), Handler)

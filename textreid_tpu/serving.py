@@ -176,8 +176,20 @@ class RetrievalIndex:
         built)."""
         data = np.load(path)
         self.gallery_meta = data["meta"]
-        self.gallery = jnp.asarray(data["gallery"])
-        if self.quantize and "quant_values" in data:
+        gallery = data["gallery"]
+        if "augmented" in data and bool(data["augmented"]):
+            # legacy (round-3 pre-refactor) format persisted the mesh
+            # topology artifact: [G+pad, D+1] with pad rows and an
+            # augmented score column — strip back to the clean matrix
+            gallery = gallery[: len(self.gallery_meta), :-1]
+        self.gallery = jnp.asarray(gallery)
+        stored_quant_usable = (
+            "quant_values" in data
+            # legacy-augmented files quantized the padded [G+pad, D+1]
+            # matrix; re-derive from the clean gallery instead
+            and data["quant_values"].shape == self.gallery.shape
+        )
+        if self.quantize and stored_quant_usable:
             from .ops.quant import QuantizedGallery
 
             self._quant_gallery = QuantizedGallery(

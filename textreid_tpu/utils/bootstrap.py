@@ -21,17 +21,24 @@ def build_eval_state(
     checkpoint_file: str = "",
     dtype=None,
     use_pallas: Optional[bool] = None,
+    need_loaders: bool = True,
 ) -> Tuple[object, object, list]:
     """Returns ``(model, state, eval_loaders)`` for a frozen config.
 
     ``dtype`` defaults to f32 (parity work wants exactness); pass
     ``utils.platform.compute_dtype(cfg)`` for production bf16.
     ``checkpoint_file`` may be an orbax directory or a torch ``.pth``.
+
+    ``need_loaders=False`` skips the dataset entirely (``loaders`` comes
+    back empty) and initializes parameter shapes from the config's input
+    dims — a serving replica boots from checkpoint + persisted index
+    alone, with no annotations on disk (the point of
+    ``RetrievalIndex.save_index``).
     """
     import jax.numpy as jnp
+    import numpy as np
 
     from ..config import get_default_cfg  # noqa: F401  (documented entry)
-    from ..data import make_data_loader
     from ..engine import create_train_state
     from ..models import build_model
     from ..solver import make_optimizer
@@ -47,9 +54,24 @@ def build_eval_state(
         use_pallas = (bool(cfg.TPU.GRU_PALLAS)
                       and jax.default_backend() == "tpu")
 
-    loaders = make_data_loader(cfg, is_train=False)
-    sample = dict(next(iter(loaders[0])))
-    sample.pop("valid", None)
+    if need_loaders:
+        from ..data import make_data_loader
+
+        loaders = make_data_loader(cfg, is_train=False)
+        sample = dict(next(iter(loaders[0])))
+        sample.pop("valid", None)
+    else:
+        loaders = []
+        # shapes only (create_train_state contract); batch 1 divides any
+        # MoCo queue size
+        sample = {
+            "pixels": np.zeros(
+                (1, cfg.INPUT.HEIGHT, cfg.INPUT.WIDTH, 3), np.float32),
+            "token_ids": np.zeros(
+                (1, cfg.INPUT.MAX_TEXT_LENGTH), np.int32),
+            "lengths": np.ones((1,), np.int32),
+            "pids": np.zeros((1,), np.int32),
+        }
 
     model = build_model(cfg, frozen_table_initializer(cfg),
                         dtype=dtype or jnp.float32, use_pallas=use_pallas)

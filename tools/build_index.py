@@ -39,6 +39,9 @@ def main():
                         help="index file to write (atomic)")
     parser.add_argument("--quantize", action="store_true",
                         help="also store the int8 per-row-scale form")
+    parser.add_argument("--int8-encode", action="store_true",
+                        help="encode the gallery with the int8-conv visual "
+                        "tower (models/quant_tower.py, ~1.16x)")
     parser.add_argument("--dataset", default="",
                         help="catalog name; default: first DATASETS.TEST")
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
@@ -65,7 +68,8 @@ def main():
     )
     loader = loaders[0]
 
-    index = RetrievalIndex(model, state, quantize=args.quantize)
+    index = RetrievalIndex(model, state, quantize=args.quantize,
+                           int8_encode=args.int8_encode)
 
     # one gallery row per unique image (the eval protocol's dedupe,
     # evaluation.py:113-115) — meta carries the image ids

@@ -69,8 +69,11 @@ def main():
 
     logger = setup_logger("PersonSearch", "", jax.process_index())
 
+    # need_loaders=False: a replica boots from checkpoint + index alone —
+    # no dataset/annotations on disk required
     model, state, _ = build_eval_state(
-        cfg, checkpoint_file=args.checkpoint_file, dtype=compute_dtype(cfg)
+        cfg, checkpoint_file=args.checkpoint_file, dtype=compute_dtype(cfg),
+        need_loaders=False,
     )
     index = RetrievalIndex(model, state, query_batch=args.query_batch,
                            quantize=args.quantize)
