@@ -130,6 +130,12 @@ def _timed_loop(fn, args, iters=200, no_perturb=()):
     import jax
     import jax.numpy as jnp
 
+    # exempting EVERY arg makes the body loop-invariant — XLA hoists it
+    # and the loop measures nothing (observed: a 137-GFLOP matmul "ran"
+    # in 0.000 ms with both operands exempt)
+    assert any(i not in no_perturb for i in range(len(args))), \
+        "at least one arg must carry the inter-iteration dependency"
+
     @jax.jit
     def loop(n, *a):
         def body(_, c):
