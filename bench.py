@@ -334,6 +334,19 @@ def bench_stages():
     stage("vit_fwd", lambda v, x: vit.apply(v, x), (vitvars, pixels),
           iters=50)
 
+    # int8-Dense ViT (models/quant_tower.py): every block matmul
+    # (qkv/out_proj/c_fc/c_proj) on the int8 MXU path (342-357 TOPS
+    # measured vs 193 bf16)
+    def vit_int8(v, x):
+        import flax.linen as nn
+
+        from textreid_tpu.models.quant_tower import int8_dense_interceptor
+
+        with nn.intercept_methods(int8_dense_interceptor()):
+            return vit.apply(v, x)
+
+    stage("vit_fwd_int8", vit_int8, (vitvars, pixels), iters=50)
+
     # attention pool alone at the RN50 grid ([B, 12, 4, 2048])
     pool = AttentionPool2d(spacial_dim=(12, 4), embed_dim=2048, num_heads=32,
                            output_dim=1024, dtype=jnp.bfloat16)

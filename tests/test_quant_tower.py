@@ -61,6 +61,39 @@ class TestInt8Conv:
                                    rtol=1e-6)
 
 
+class TestInt8Dense:
+    def test_error_bounded_vs_float_dense(self):
+        from textreid_tpu.models.quant_tower import int8_dense
+
+        rng = np.random.RandomState(7)
+        x = jnp.asarray(rng.randn(4, 9, 64).astype(np.float32))
+        w = jnp.asarray(rng.randn(64, 128).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(128).astype(np.float32) * 0.1)
+        got = int8_dense(x, w, b)
+        want = x @ w + b
+        err = float(jnp.max(jnp.abs(got - want)))
+        assert err < 0.03 * float(jnp.max(jnp.abs(want))), err
+
+    def test_vit_tower_agreement(self):
+        """int8 Dense through the full ViT tower: embeddings must stay
+        close to the float forward (per-layer ~1% quantization noise
+        through 12 residual blocks)."""
+        from textreid_tpu.models.quant_tower import int8_dense_interceptor
+        from textreid_tpu.models.vit import VisionTransformer
+
+        vit = VisionTransformer(input_resolution=(32, 16), patch_size=8,
+                                width=64, layers=3, heads=4, output_dim=32)
+        rng = np.random.RandomState(8)
+        x = jnp.asarray(rng.rand(2, 32, 16, 3).astype(np.float32))
+        v = vit.init(jax.random.PRNGKey(0), x)
+        want = np.asarray(vit.apply(v, x), np.float32)
+        with nn.intercept_methods(int8_dense_interceptor(min_out_features=64)):
+            got = np.asarray(vit.apply(v, x), np.float32)
+        cos = np.sum(want * got, axis=-1) / (
+            np.linalg.norm(want, axis=-1) * np.linalg.norm(got, axis=-1))
+        assert (cos > 0.99).all(), cos
+
+
 @pytest.fixture(scope="module")
 def model_and_state():
     model = TextReIDModel(

@@ -116,6 +116,55 @@ def int8_conv_interceptor(min_flops_per_byte: float = 0.0):
     return interceptor
 
 
+def int8_dense(x, kernel, bias=None):
+    """Quantized dense: dynamic per-tensor int8 activations, static
+    per-out-column int8 weights, int32 MXU accumulation, float rescale.
+    Confirmed MXU rate on this v5e: int8 matmul 342-357 TOPS vs 191-193
+    bf16 TFLOP/s."""
+    out_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    s_x = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-8)
+    x_q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    wf = kernel.astype(jnp.float32)
+    s_w = jnp.maximum(jnp.max(jnp.abs(wf), axis=0) / 127.0, 1e-12)
+    w_q = jnp.clip(jnp.round(wf / s_w), -127, 127).astype(jnp.int8)
+    y = lax.dot_general(
+        x_q, w_q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = (y.astype(jnp.float32) * (s_x * s_w))
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+def int8_dense_interceptor(min_out_features: int = 512):
+    """A flax interceptor replacing every large-enough ``nn.Dense`` with
+    ``int8_dense`` — the transformer counterpart of the conv interceptor
+    (a Dense's arithmetic intensity is ~out_features FLOPs per activation
+    byte).  For a ViT block this covers qkv/out_proj/c_fc/c_proj, i.e.
+    all the FLOPs.  Dynamic per-tensor activation scales; pretrained
+    transformer towers with activation outliers may need per-layer
+    calibration — measure agreement before serving (the tests do)."""
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if (
+            not isinstance(mod, nn.Dense)
+            or context.method_name != "__call__"
+            or mod.features < min_out_features
+            or not mod.has_variable("params", "kernel")
+        ):
+            return next_fun(*args, **kwargs)
+        (x,) = args
+        kernel = mod.get_variable("params", "kernel")
+        bias = (mod.get_variable("params", "bias")
+                if mod.use_bias else None)
+        return int8_dense(x, kernel, bias)
+
+    return interceptor
+
+
 # Quantize convs with kh*kw*cout >= this (RN50: every 3x3 with >= 256
 # output channels; no 1x1 qualifies).  On-chip (v5e, bs128 384x128, same
 # run): bf16 13.87 ms, all-convs int8 13.37 ms (quant overhead eats the
