@@ -455,8 +455,10 @@ def bench_serving():
     # comparison paths cannot run at all (that is the POINT of the
     # streaming kernel) — switch to large-scale mode: exactness against a
     # CHUNKED XLA reference (top_k per gallery chunk, host merge — exact),
-    # timing for the streaming paths only.
-    large_scale = 4 * Q * G > 3e9
+    # timing for the streaming paths only.  FORCE_LARGE lets the CPU
+    # smoke test exercise this branch at toy sizes.
+    large_scale = (4 * Q * G > 3e9
+                   or os.environ.get("BENCH_SERVING_FORCE_LARGE") == "1")
 
     def chunked_reference(k):
         chunk = 98304

@@ -48,6 +48,19 @@ class TestBenchSupervisor:
         art = json.load(open(os.path.join(str(tmp_path), "BENCH_SERVING.json")))
         assert art["pallas_xla_index_match"] == 1.0
 
+    def test_large_scale_mode_chunked_reference(self, tmp_path):
+        """The large-scale branch (chunked exact reference, streaming-only
+        timing) must work end-to-end — it produced the 1M-row artifact."""
+        rc, record = run_bench({"BENCH_SERVING_FORCE_LARGE": "1"}, tmp_path)
+        assert rc == 0
+        assert record["value"] is not None, record.get("error")
+        art = json.load(
+            open(os.path.join(str(tmp_path), "BENCH_SERVING_LARGE.json")))
+        assert art["large_scale_mode"] is True
+        assert art["pallas_xla_index_match"] > 0.999
+        assert "xla_topk_ms" not in art  # materializing paths skipped
+        assert art["pallas_topk_ms"] >= 0
+
     def test_failure_still_emits_parseable_json(self, tmp_path):
         # k=10 > gallery rows makes every attempt fail fast
         rc, record = run_bench({"BENCH_SERVING_G": "7",
