@@ -58,13 +58,24 @@ def _fold_tile(run_vals, run_idx, scores, g_idx, k):
     qt = scores.shape[0]
     slot = jax.lax.broadcasted_iota(jnp.int32, (qt, k), 1)
 
+    # The qualification test needs only the per-row max, so the R1
+    # reduction is hoisted to a prologue and recomputed at the END of each
+    # body trip: a tile with zero insertions (the common late-stream case)
+    # costs one reduction and a cheap cond — never the argmax extraction,
+    # insertion machinery, or full-width mask write.
+    m0 = jnp.max(scores, axis=1, keepdims=True)  # [Qt, 1]
+
     def cond(carry):
-        _, _, _, passes, go = carry
-        return jnp.logical_and(passes < k, go)
+        run_vals, _, _, m, passes = carry
+        tau = run_vals[:, k - 1:k]
+        # m >= tau may admit a value tie that loses on index (pos == k
+        # no-ops inside) — rare and harmless; m == NEG_INF rows are
+        # exhausted or padding
+        qual = jnp.logical_and(m >= tau, m > NEG_INF)
+        return jnp.logical_and(passes < k, jnp.any(qual))
 
     def body(carry):
-        run_vals, run_idx, scores, passes, _ = carry
-        m = jnp.max(scores, axis=1, keepdims=True)  # [Qt, 1]
+        run_vals, run_idx, scores, m, passes = carry
         # largest index among the argmax ties
         im = jnp.max(jnp.where(scores >= m, g_idx, -1), axis=1,
                      keepdims=True)
@@ -73,9 +84,6 @@ def _fold_tile(run_vals, run_idx, scores, g_idx, k):
             run_vals > m, jnp.logical_and(run_vals == m, run_idx > im)
         )
         pos = jnp.sum(ranks_above.astype(jnp.int32), axis=1, keepdims=True)
-        # enter iff it outranks the k-th kept item (pos == k means even a
-        # value tie loses on index); m == NEG_INF rows are exhausted or
-        # padding
         do = jnp.logical_and(pos < k, m > NEG_INF)  # [Qt, 1]
         if k == 1:  # nothing to shift: a [Qt, 0] slice is not lowerable
             new_vals, new_idx = m, im
@@ -90,15 +98,16 @@ def _fold_tile(run_vals, run_idx, scores, g_idx, k):
                 slot == pos, im, jnp.where(slot > pos, shift_idx, run_idx))
         run_vals = jnp.where(do, new_vals, run_vals)
         run_idx = jnp.where(do, new_idx, run_idx)
-        # retire the extracted lane; rows with do=False are permanently
-        # done (tau never decreases), so masking their max is harmless
-        # and lets `go` converge
+        # retire the extracted lane; rows whose max no longer qualifies
+        # are permanently done (tau never decreases), so masking their max
+        # is harmless and lets cond converge
         scores = jnp.where(g_idx == im, NEG_INF, scores)
-        return run_vals, run_idx, scores, passes + 1, jnp.any(do)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        return run_vals, run_idx, scores, m, passes + 1
 
     run_vals, run_idx, _, _, _ = jax.lax.while_loop(
         cond, body,
-        (run_vals, run_idx, scores, jnp.int32(0), jnp.bool_(True)),
+        (run_vals, run_idx, scores, m0, jnp.int32(0)),
     )
     return run_vals, run_idx
 
