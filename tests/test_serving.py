@@ -279,3 +279,63 @@ class TestQuantizedGallery:
         s2, m2 = quant.search(token_ids, lengths, k=3)
         np.testing.assert_array_equal(m1[:, 0], m2[:, 0])  # rank-1 agrees
         np.testing.assert_allclose(s1, s2, atol=0.05)
+
+
+class TestQuantizedMeshServing:
+    """quantize=True on a mesh must actually serve int8 (the r3 silent
+    float downgrade is gone): sharded-quantized results match the
+    single-device quantized index exactly, including augmented pad rows."""
+
+    def test_mesh_quantized_matches_single_device_quantized(
+            self, model_and_state):
+        model, state = model_and_state
+        plain = RetrievalIndex(model, state, use_pallas=False, quantize=True)
+        sharded = RetrievalIndex(model, state, mesh=make_mesh(8),
+                                 use_pallas=False, quantize=True)
+        g = _gallery_batches(n=10)
+        plain.build_gallery(g, meta=np.arange(800, 810))
+        sharded.build_gallery(g, meta=np.arange(800, 810))
+        assert sharded.quantize and sharded._augmented  # 10 -> 16 rows
+        assert sharded._quant_gallery.values.dtype == jnp.int8
+        rng = np.random.RandomState(14)
+        token_ids = rng.randint(1, 30, (4, 8)).astype(np.int32)
+        lengths = np.full(4, 8, np.int32)
+        s1, m1 = plain.search(token_ids, lengths, k=3)
+        s2, m2 = sharded.search(token_ids, lengths, k=3)
+        # same int8 contraction (+ an exact-zero augmented column on the
+        # mesh): identical winners, scores to quantization rounding
+        np.testing.assert_array_equal(m1, m2)
+        np.testing.assert_allclose(s1, s2, atol=2e-2)
+
+    def test_mesh_quantized_pad_rows_never_win(self, model_and_state):
+        """Augmented pad rows quantize to an exact -2 score and must lose
+        to every real row even when k spans the whole padded gallery."""
+        model, state = model_and_state
+        index = RetrievalIndex(model, state, mesh=make_mesh(8),
+                               use_pallas=False, quantize=True)
+        index.build_gallery(_gallery_batches(n=10),
+                            meta=np.arange(900, 910))
+        rng = np.random.RandomState(15)
+        token_ids = rng.randint(1, 30, (3, 8)).astype(np.int32)
+        lengths = np.full(3, 8, np.int32)
+        scores, meta = index.search(token_ids, lengths, k=16)
+        assert (meta[:, 10:] == -1).all()
+        assert (np.isinf(scores[:, 10:]) & (scores[:, 10:] < 0)).all()
+        assert set(meta[:, :10].ravel()) == set(range(900, 910))
+
+    def test_mesh_quantized_pallas_interpret_matches(self, model_and_state):
+        model, state = model_and_state
+        xla = RetrievalIndex(model, state, mesh=make_mesh(8),
+                             use_pallas=False, quantize=True)
+        pallas = RetrievalIndex(model, state, mesh=make_mesh(8),
+                                use_pallas=True, quantize=True)
+        g = _gallery_batches(n=16)  # divides evenly: no augmentation
+        xla.build_gallery(g, meta=np.arange(16))
+        pallas.build_gallery(g, meta=np.arange(16))
+        rng = np.random.RandomState(16)
+        token_ids = rng.randint(1, 30, (3, 8)).astype(np.int32)
+        lengths = np.full(3, 8, np.int32)
+        s1, m1 = xla.search(token_ids, lengths, k=4)
+        s2, m2 = pallas.search(token_ids, lengths, k=4)
+        np.testing.assert_array_equal(m1, m2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-6)

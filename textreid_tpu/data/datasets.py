@@ -71,8 +71,9 @@ class CUHKPEDESDataset:
                 f"missing required key(s) {missing}; expected the "
                 f"CUHK-PEDES annotation schema {required} "
                 f"(got keys {sorted(first)[:10]}). If this is a "
-                f"differently-formatted release, convert the annotations "
-                f"or pass use_onehot=False with a tokenizer."
+                f"differently-formatted release (e.g. the raw ICFG-PEDES/"
+                f"SSAN layout), convert it with tools/convert_icfg.py, or "
+                f"pass use_onehot=False with a tokenizer."
             )
 
     def __len__(self) -> int:
@@ -130,11 +131,13 @@ class CUHKPEDESDataset:
 
 
 class ICFGPEDESDataset(CUHKPEDESDataset):
-    """ICFG-PEDES, assuming CUHK-PEDES-converted annotations; listed as a
-    reference README TODO ('Experiments on other datasets').  Real ICFG
-    releases ship differently-named fields — the constructor-time schema
-    validation (``_validate_schema``) rejects those up front with a
-    conversion hint instead of a KeyError deep in a worker thread."""
+    """ICFG-PEDES in CUHK-PEDES-converted annotations; the reference README
+    lists this dataset as a TODO ('Experiments on other datasets').  The
+    published release (SSAN layout: one raw JSON with captions/
+    processed_tokens/split per record) is converted to this schema by
+    ``tools/convert_icfg.py`` — the constructor-time schema validation
+    (``_validate_schema``) rejects un-converted files up front with that
+    hint instead of a KeyError deep in a worker thread."""
 
 
 class ConcatDataset:

@@ -55,9 +55,11 @@ class RetrievalIndex:
         self.use_pallas = use_pallas
         # off-TPU the Pallas kernels run in interpret mode (tests/dev boxes)
         self._interpret = jax.default_backend() != "tpu"
-        # int8 gallery (ops/quant.py): 4x less HBM, int8 MXU scoring.
-        # Single-device only (sharded galleries stay float for now).
-        self.quantize = quantize and mesh is None
+        # int8 gallery (ops/quant.py): 4x less HBM (so 4x the rows per
+        # chip), int8 MXU scoring.  On a mesh each shard holds its rows in
+        # int8 and ranks them with the quantized path
+        # (evaluation.retrieval.sharded_topk_retrieval_quantized).
+        self.quantize = quantize
         self.gallery: Optional[jax.Array] = None  # [G, D] normalized
         self.gallery_meta: Optional[np.ndarray] = None
 
@@ -106,7 +108,7 @@ class RetrievalIndex:
             np.asarray(meta) if meta is not None
             else np.arange(self.gallery.shape[0])
         )
-        if self.quantize:
+        if self.quantize and self.mesh is None:
             from .ops.quant import quantize_rows
 
             self._quant_gallery = quantize_rows(self.gallery)
@@ -143,6 +145,16 @@ class RetrievalIndex:
         self.gallery = jax.device_put(
             self.gallery, NamedSharding(self.mesh, P(DATA_AXIS))
         )
+        if self.quantize:
+            # Quantize the TOPOLOGY form (augmented/padded), so pad rows
+            # keep their guaranteed-losing score: a pad row [0...0, -2]
+            # quantizes to scale 2/127, values [0...0, -127] — dequantized
+            # score exactly -2 against 1-augmented queries.  Real rows are
+            # unchanged by the appended zero column (same per-row absmax).
+            # A persisted index stores the CLEAN quant form; re-derive.
+            from .ops.quant import quantize_rows
+
+            self._quant_gallery = quantize_rows(self.gallery)
 
     def _clean_gallery(self) -> np.ndarray:
         """The un-augmented [G, D] gallery regardless of mesh topology."""
@@ -162,7 +174,9 @@ class RetrievalIndex:
             "gallery": self._clean_gallery(),
             "meta": self.gallery_meta,
         }
-        if self.quantize:
+        if self.quantize and self.mesh is None:
+            # mesh instances hold the quantized TOPOLOGY form (augmented/
+            # padded) — a per-instance artifact; loaders re-derive their own
             payload["quant_values"] = np.asarray(self._quant_gallery.values)
             payload["quant_scales"] = np.asarray(self._quant_gallery.scales)
         tmp = path + ".tmp"
@@ -189,18 +203,18 @@ class RetrievalIndex:
             # matrix; re-derive from the clean gallery instead
             and data["quant_values"].shape == self.gallery.shape
         )
-        if self.quantize and stored_quant_usable:
+        if self.quantize and self.mesh is None and stored_quant_usable:
             from .ops.quant import QuantizedGallery
 
             self._quant_gallery = QuantizedGallery(
                 values=jnp.asarray(data["quant_values"]),
                 scales=jnp.asarray(data["quant_scales"]),
             )
-        elif self.quantize:
+        elif self.quantize and self.mesh is None:
             from .ops.quant import quantize_rows
 
             self._quant_gallery = quantize_rows(self.gallery)
-        self._finalize_mesh_gallery()
+        self._finalize_mesh_gallery()  # mesh path re-quantizes in here
 
     # -- queries ----------------------------------------------------------
     def encode_queries(self, token_ids: np.ndarray,
@@ -257,7 +271,10 @@ class RetrievalIndex:
         queries = jnp.asarray(queries)
 
         if self.mesh is not None:
-            from .evaluation.retrieval import sharded_topk_retrieval
+            from .evaluation.retrieval import (
+                sharded_topk_retrieval,
+                sharded_topk_retrieval_quantized,
+            )
 
             if self._augmented:
                 queries = jnp.concatenate(
@@ -267,11 +284,17 @@ class RetrievalIndex:
             # clamp to the (padded) row count: requesting more is both
             # infeasible per-shard and pointless — the sentinel padding
             # below fills the remaining slots
-            vals, idx = sharded_topk_retrieval(
-                self.mesh, queries, self.gallery,
-                k=min(k, int(self.gallery.shape[0])),
-                use_pallas=self.use_pallas,
-            )
+            k_run = min(k, int(self.gallery.shape[0]))
+            if self.quantize:
+                vals, idx = sharded_topk_retrieval_quantized(
+                    self.mesh, queries, self._quant_gallery, k=k_run,
+                    use_pallas=self.use_pallas, interpret=self._interpret,
+                )
+            else:
+                vals, idx = sharded_topk_retrieval(
+                    self.mesh, queries, self.gallery, k=k_run,
+                    use_pallas=self.use_pallas, interpret=self._interpret,
+                )
         elif self.quantize:
             if self.use_pallas:
                 # streaming int8 kernel: 4x less HBM traffic, no QxG matrix

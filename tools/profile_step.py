@@ -71,7 +71,26 @@ def build_step():
     return step, state, db
 
 
-def summarize(trace_dir: str, steps: int):
+# v5e peaks for the roofline classification; bf16 peak confirmed on this
+# chip by clean matmul probes (191-193 TFLOP/s sustained, NOTES.md).
+PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5e": 197e12}
+PEAK_BW = {"TPU v5 lite": 819e9, "TPU v5e": 819e9}
+
+
+def summarize(trace_dir: str, steps: int, json_out: str = ""):
+    """Per-HLO-category times + a per-op roofline attribution.
+
+    For every device op the trace carries XLA's own cost model numbers
+    (``model_flops``, ``bytes_accessed``); an op's speed-of-light time is
+    ``max(flops/peak_flops, bytes/peak_bw)`` and its roofline efficiency is
+    sol/duration.  ``bytes_accessed`` over-counts fusions that read an
+    operand at several interior sites (each use is counted), so efficiencies
+    are conservative and can exceed 1.0 — the aggregate is a lower bound on
+    how close the step is to the hardware's limits, exactly the evidence
+    the MFU headline needs alongside it (MFU charges only matmul FLOPs, so
+    a bandwidth-bound backward shows as "low MFU" while running at the HBM
+    roofline).
+    """
     paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not paths:
@@ -80,18 +99,90 @@ def summarize(trace_dir: str, steps: int):
         data = json.load(f)
     events = [e for e in data.get("traceEvents", []) if e.get("ph") == "X"]
     skip = re.compile(r"\$|^jit_|^PjitFunction|^np\.asarray|^\d+$|^trace|^program")
+    peak_fl = PEAK_FLOPS.get(_device_kind(), 197e12)
+    peak_bw = PEAK_BW.get(_device_kind(), 819e9)
+
     by_cat = collections.Counter()
+    agg = {}  # name -> [cat, dur_s, flops, bytes]
     for e in events:
         name = e.get("name", "")
         if skip.search(name):
             continue
-        cat = e.get("args", {}).get("hlo_category", "uncategorized")
-        by_cat[cat] += e.get("dur", 0) / 1e3
+        args = e.get("args", {})
+        cat = args.get("hlo_category", "uncategorized")
+        dur_s = e.get("dur", 0) / 1e6
+        by_cat[cat] += dur_s * 1e3
+        if dur_s <= 0:
+            continue
+        d = agg.setdefault(name, [cat, 0.0, 0.0, 0.0])
+        d[1] += dur_s
+        d[2] += float(args.get("model_flops", 0) or 0)
+        d[3] += float(args.get("bytes_accessed", 0) or 0)
+
     total = sum(by_cat.values())
     print(f"device-op total: {total:.1f} ms over {steps} steps "
           f"-> {total / steps:.1f} ms/step")
     for cat, ms in by_cat.most_common():
         print(f"{ms / steps:9.2f} ms/step  {cat}")
+
+    # roofline buckets (time-weighted)
+    edges = [(0.9, "eff>=0.9"), (0.7, "0.7-0.9"), (0.5, "0.5-0.7"),
+             (0.3, "0.3-0.5"), (0.0, "eff<0.3")]
+    buckets = collections.Counter()
+    total_dur = sum(v[1] for v in agg.values())
+    total_sol = 0.0
+    worst = []
+    for name, (cat, dur, fl, by) in agg.items():
+        sol = max(fl / peak_fl, by / peak_bw)
+        total_sol += sol
+        eff = sol / dur
+        for lo, label in edges:
+            if eff >= lo:
+                buckets[label] += dur
+                break
+        worst.append((eff, dur, cat, name))
+    print(f"\nroofline (XLA cost model; fusion bytes over-counted, so "
+          f"efficiencies are conservative):")
+    print(f"  speed-of-light estimate {total_sol / steps * 1e3:.1f} ms/step "
+          f"(aggregate efficiency {total_sol / total_dur:.2f})")
+    for _, label in edges:
+        frac = buckets[label] / total_dur if total_dur else 0.0
+        print(f"  {label:9s} {buckets[label] / steps * 1e3:7.1f} ms/step "
+              f"({frac * 100:5.1f}%)")
+    print("largest ops below 0.3 of roofline:")
+    worst.sort(key=lambda t: -t[1])
+    shown = 0
+    for eff, dur, cat, name in worst:
+        if eff >= 0.3 or shown >= 8:
+            continue
+        print(f"  {dur / steps * 1e3:7.2f} ms/step eff={eff:4.2f} "
+              f"{cat:18s} {name[:48]}")
+        shown += 1
+
+    if json_out:
+        payload = {
+            "ms_per_step": total / steps,
+            "sol_ms_per_step": total_sol / steps * 1e3,
+            "aggregate_efficiency": total_sol / total_dur,
+            "by_category_ms": {c: ms / steps for c, ms in by_cat.items()},
+            "roofline_buckets_ms": {label: buckets[label] / steps * 1e3
+                                    for _, label in edges},
+            "roofline_buckets_frac": {label: buckets[label] / total_dur
+                                      for _, label in edges},
+            "steps": steps,
+        }
+        with open(json_out, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {json_out}")
+
+
+def _device_kind() -> str:
+    try:
+        import jax
+
+        return jax.devices()[0].device_kind
+    except Exception:
+        return ""
 
 
 def main():
