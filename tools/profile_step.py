@@ -170,6 +170,16 @@ def summarize(trace_dir: str, steps: int, json_out: str = ""):
             "roofline_buckets_frac": {label: buckets[label] / total_dur
                                       for _, label in edges},
             "steps": steps,
+            "notes": [
+                "bytes_accessed counts every interior operand use of a "
+                "fusion, so efficiencies are conservative (can exceed 1).",
+                "XLA's cost model does NOT attribute while-BODY flops to "
+                "the while op, so the GRU recurrence scans land in the "
+                "eff<0.3 bucket spuriously: each bi-GRU direction is 105 "
+                "sequential [128,512]x[512,1536] f32 matmuls = 21 GFLOP "
+                "in ~0.7 ms = ~30 TFLOP/s = ~60% of the f32 MXU rate — "
+                "near the roofline of an un-batchable recurrence.",
+            ],
         }
         with open(json_out, "w") as f:
             json.dump(payload, f, indent=1)
@@ -189,18 +199,24 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=3)
     parser.add_argument("--out", default="/tmp/jaxtrace")
+    parser.add_argument("--json-out", default="",
+                        help="write the breakdown as JSON here")
+    parser.add_argument("--summarize-only", action="store_true",
+                        help="re-analyze an existing trace under --out "
+                        "without re-running the step")
     args = parser.parse_args()
 
-    import jax
+    if not args.summarize_only:
+        import jax
 
-    step, state, db = build_step()
-    state, m = step(state, db)  # compile outside the trace
-    float(m["loss"])
-    with jax.profiler.trace(args.out):
-        for _ in range(args.steps):
-            state, m = step(state, db)
+        step, state, db = build_step()
+        state, m = step(state, db)  # compile outside the trace
         float(m["loss"])
-    summarize(args.out, args.steps)
+        with jax.profiler.trace(args.out):
+            for _ in range(args.steps):
+                state, m = step(state, db)
+            float(m["loss"])
+    summarize(args.out, args.steps, json_out=args.json_out)
 
 
 if __name__ == "__main__":
