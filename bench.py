@@ -325,6 +325,57 @@ def bench_stages():
 
     stage("visual_fwd_int8", visual_int8, (vvars, pixels), iters=50)
 
+    # TRUE int8-dataflow tower (models/int8_tower.py): BN/ReLU folded into
+    # per-channel requantization, activations int8 BETWEEN convs — the 2x
+    # design the interceptor's per-conv quant/dequant passes cap at ~1.16x.
+    # Calibrated + agreement-checked same-run against the bf16 tower.
+    from textreid_tpu.models import int8_tower as int8t
+
+    # settle batch stats the real way (train-mode forwards) so BN folding
+    # sees a trained-like tower, then calibrate on separate batches
+    vstats = vvars["batch_stats"]
+    for i in (1, 2):
+        xb = jnp.asarray(np.random.RandomState(i).rand(16, 384, 128, 3),
+                         jnp.bfloat16)
+        _, mut = jax.jit(
+            lambda p, s, x: visual.apply(
+                {"params": p, "batch_stats": s}, x, train=True,
+                mutable=["batch_stats"]),
+        )(vvars["params"], vstats, xb)
+        vstats = mut["batch_stats"]
+    calib = np.random.RandomState(3).rand(16, 384, 128, 3).astype(np.float32)
+    amax = int8t.calibrate_amax(visual, vvars["params"], vstats, [calib],
+                                (0.5,) * 3, (0.25,) * 3)
+    tower = int8t.prepare_int8_tower(visual, vvars["params"], vstats, amax)
+    ap = AttentionPool2d(spacial_dim=visual.final_grid,
+                         embed_dim=visual.width * 32,
+                         num_heads=visual.heads,
+                         output_dim=visual.output_dim, dtype=jnp.bfloat16)
+
+    def visual_int8_dataflow(tower, ap_params, x):
+        feat = int8t.int8_trunk_apply(visual, tower, x)
+        return ap.apply({"params": ap_params}, feat.astype(jnp.bfloat16))
+
+    ap_params = vvars["params"]["attnpool"]
+    stage("visual_fwd_int8_dataflow", visual_int8_dataflow,
+          (tower, ap_params, pixels), iters=50)
+    # bf16 reference with the SAME settled stats, same run
+    bf16_ref = jax.jit(
+        lambda p, s, x: visual.apply({"params": p, "batch_stats": s}, x)
+    )(vvars["params"], vstats, pixels)
+    int8_out = jax.jit(visual_int8_dataflow)(tower, ap_params, pixels)
+    a = np.asarray(bf16_ref, np.float32)
+    b = np.asarray(int8_out, np.float32)
+    cos = (a * b).sum(1) / (np.linalg.norm(a, axis=1)
+                            * np.linalg.norm(b, axis=1) + 1e-12)
+    report["int8_dataflow_min_cosine"] = float(cos.min())
+    report["int8_dataflow_speedup_vs_bf16"] = round(
+        report["visual_fwd_ms"] / report["visual_fwd_int8_dataflow_ms"], 3)
+    log(f"int8 dataflow: {report['visual_fwd_int8_dataflow_ms']:.2f} ms vs "
+        f"bf16 {report['visual_fwd_ms']:.2f} ms "
+        f"({report['int8_dataflow_speedup_vs_bf16']}x), "
+        f"min cosine {cos.min():.5f}")
+
     # ViT-B/16 tower at the same input (the BASELINE.json stretch backbone)
     vit = VisionTransformer(input_resolution=(384, 128), patch_size=16,
                             width=768, layers=12, heads=12, output_dim=512,
@@ -441,14 +492,19 @@ def bench_serving():
     jax.block_until_ready(qgal)
     log(f"gallery {G}x{D} f32 + int8 resident; {Q} queries, k={K}")
 
-    # tuned tile defaults, clamped so CPU smoke sizes still divide evenly
-    qt, gt = min(256, Q), min(2048, G)
+    # tuned tile defaults, clamped so CPU smoke sizes still divide evenly;
+    # env-overridable for on-chip tile sweeps.  The int8 kernel gets its
+    # own gallery-tile knob: its VMEM tile is 4x smaller in bytes, so it
+    # can stream 4x more rows per tile in the same scratch budget.
+    qt = int(os.environ.get("BENCH_SERVING_QT", min(256, Q)))
+    gt = int(os.environ.get("BENCH_SERVING_GT", min(2048, G)))
+    gt8 = int(os.environ.get("BENCH_SERVING_GT_INT8", gt))
     xla_fn = jax.jit(lambda q, g: jax.lax.top_k(q @ g.T, K))
     pallas_fn = lambda q, g: topk_similarity(  # noqa: E731
         q, g, k=K, query_tile=qt, gallery_tile=gt, interpret=interpret)
     int8_fn = lambda q: quantized_topk(q, qgal, K)  # noqa: E731
     int8s_fn = lambda q: topk_similarity_quantized(  # noqa: E731
-        q, qgal.values, qgal.scales, k=K, query_tile=qt, gallery_tile=gt,
+        q, qgal.values, qgal.scales, k=K, query_tile=qt, gallery_tile=gt8,
         interpret=interpret)
 
     # Above ~3 GB of materialized Q x G scores, the XLA/materializing
@@ -460,6 +516,12 @@ def bench_serving():
     large_scale = (4 * Q * G > 3e9
                    or os.environ.get("BENCH_SERVING_FORCE_LARGE") == "1")
 
+    def _merge_chunks(vals, idx, k):
+        vals, idx = np.concatenate(vals, 1), np.concatenate(idx, 1)
+        order = np.argsort(-vals, axis=1, kind="stable")[:, :k]
+        return (np.take_along_axis(vals, order, axis=1),
+                np.take_along_axis(idx, order, axis=1))
+
     def chunked_reference(k):
         chunk = 98304
         vals, idx = [], []
@@ -468,10 +530,24 @@ def bench_serving():
             v, i = part(queries, gallery[start:start + chunk])
             vals.append(np.asarray(v))
             idx.append(np.asarray(i) + start)
-        vals, idx = np.concatenate(vals, 1), np.concatenate(idx, 1)
-        order = np.argsort(-vals, axis=1, kind="stable")[:, :k]
-        return (np.take_along_axis(vals, order, axis=1),
-                np.take_along_axis(idx, order, axis=1))
+        return _merge_chunks(vals, idx, k)
+
+    def chunked_quant_reference(k):
+        # exact reference for the STREAMING int8 kernel at scales where the
+        # materializing quantized path cannot allocate: quantized_topk per
+        # gallery chunk (identical bf16 x int8 numerics), host merge
+        from textreid_tpu.ops.quant import QuantizedGallery
+
+        chunk = 98304
+        vals, idx = [], []
+        part = jax.jit(lambda q, v, s: quantized_topk(
+            q, QuantizedGallery(v, s), k))
+        for start in range(0, G, chunk):
+            v, i = part(queries, qgal.values[start:start + chunk],
+                        qgal.scales[start:start + chunk])
+            vals.append(np.asarray(v))
+            idx.append(np.asarray(i) + start)
+        return _merge_chunks(vals, idx, k)
 
     # -- correctness cross-check (unperturbed inputs, host compare) --------
     if large_scale:
@@ -484,13 +560,14 @@ def bench_serving():
     sv, si = map(np.asarray, int8s_fn(queries))
     if not large_scale:
         iv, ii = map(np.asarray, int8_fn(queries))
-        # streaming int8 must reproduce materializing int8 exactly
-        int8_stream_match = float(np.mean(si == ii))
-        assert int8_stream_match > 0.999, int8_stream_match
-        assert float(np.max(np.abs(sv - iv))) < 1e-5
     else:
-        iv, ii = sv, si
-        int8_stream_match = None
+        # VERDICT r3 weak #2: the int8 exactness check must ALSO run at the
+        # scale the kernel exists for — chunked quantized reference
+        iv, ii = chunked_quant_reference(K)
+    # streaming int8 must reproduce the materializing int8 numerics exactly
+    int8_stream_match = float(np.mean(si == ii))
+    assert int8_stream_match > 0.999, int8_stream_match
+    assert float(np.max(np.abs(sv - iv))) < 1e-5
 
     idx_match = float(np.mean(pi == xi))
     score_err = float(np.max(np.abs(pv - xv)))
@@ -532,7 +609,7 @@ def bench_serving():
         ("pallas_topk", pallas_fn, (queries, gallery), {1}, G * D * 4),
         ("int8_stream_topk",
          lambda q, v, s: topk_similarity_quantized(
-             q, v, s, k=K, query_tile=qt, gallery_tile=gt,
+             q, v, s, k=K, query_tile=qt, gallery_tile=gt8,
              interpret=interpret),
          (queries, qgal.values, qgal.scales), {1, 2}, G * D * 1),
     ]

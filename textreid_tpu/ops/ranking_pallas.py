@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -3.0e38
 
 
-def _fold_tile(run_vals, run_idx, scores, g_idx, k):
+def _fold_tile(run_vals, run_idx, scores, tile_base, k):
     """Fold one score tile into the sorted-descending running top-k.
 
     Expected-O(insertions) merge: each trip extracts the tile's per-row
@@ -51,12 +51,20 @@ def _fold_tile(run_vals, run_idx, scores, g_idx, k):
     2.7 ms vs a ~0.15 ms DMA floor; see BENCH_SERVING.json).  Worst case
     (adversarially ascending gallery) degrades to the old k passes.
 
+    Index bookkeeping is LAZY: the argmax is located against a
+    loop-invariant COLUMN iota (hoisted by Mosaic) and the static/scalar
+    ``tile_base`` is added to the extracted [Qt, 1] winner only — the
+    round-3 kernel materialized a full [Qt, Gt] global-index tensor per
+    tile (iota + broadcast add + full-width compares), pure VPU overhead
+    on every tile including zero-insertion ones.
+
     Ordering is lexicographic (value desc, index desc): ties prefer the
     larger gallery index, exactly like the round-2 merge.  ``run_vals``
     must be sorted under that order on entry (it is produced sorted).
     """
-    qt = scores.shape[0]
+    qt, gt = scores.shape
     slot = jax.lax.broadcasted_iota(jnp.int32, (qt, k), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qt, gt), 1)  # loop-invariant
 
     # The qualification test needs only the per-row max, so the R1
     # reduction is hoisted to a prologue and recomputed at the END of each
@@ -76,9 +84,11 @@ def _fold_tile(run_vals, run_idx, scores, g_idx, k):
 
     def body(carry):
         run_vals, run_idx, scores, m, passes = carry
-        # largest index among the argmax ties
-        im = jnp.max(jnp.where(scores >= m, g_idx, -1), axis=1,
-                     keepdims=True)
+        # largest column among the argmax ties; globalize the [Qt, 1]
+        # winner only (the argmax set is non-empty, so -1 never wins)
+        im_col = jnp.max(jnp.where(scores >= m, col, -1), axis=1,
+                         keepdims=True)
+        im = im_col + tile_base
         # insertion position under (val desc, idx desc)
         ranks_above = jnp.logical_or(
             run_vals > m, jnp.logical_and(run_vals == m, run_idx > im)
@@ -101,7 +111,7 @@ def _fold_tile(run_vals, run_idx, scores, g_idx, k):
         # retire the extracted lane; rows whose max no longer qualifies
         # are permanently done (tau never decreases), so masking their max
         # is harmless and lets cond converge
-        scores = jnp.where(g_idx == im, NEG_INF, scores)
+        scores = jnp.where(col == im_col, NEG_INF, scores)
         m = jnp.max(scores, axis=1, keepdims=True)
         return run_vals, run_idx, scores, m, passes + 1
 
@@ -112,8 +122,17 @@ def _fold_tile(run_vals, run_idx, scores, g_idx, k):
     return run_vals, run_idx
 
 
-def _make_kernel(k: int, gallery_tile: int, num_g_tiles: int,
-                 valid_gallery: int, compute_dtype):
+def _make_kernel(k: int, gallery_tile: int, valid_gallery: int,
+                 compute_dtype):
+    # The valid-row bound is STATIC, so the tiles needing a padding mask
+    # are known at trace time: [0, num_clean) stream unmasked, at most one
+    # tail tile gets the mask (round 3 paid an iota + compare + full-width
+    # select on EVERY tile), and pure-padding tiles past the bound are
+    # never streamed at all.
+    num_clean = valid_gallery // gallery_tile
+    tail_rows = valid_gallery % gallery_tile
+    num_proc = num_clean + (1 if tail_rows else 0)
+
     def kernel(q_ref, g_hbm, vals_ref, idx_ref, g_scratch, sem):
         q = q_ref[:].astype(compute_dtype)  # [Qt, D]
         qt = q.shape[0]
@@ -130,11 +149,11 @@ def _make_kernel(k: int, gallery_tile: int, num_g_tiles: int,
         run_vals = jnp.full((qt, k), NEG_INF, jnp.float32)
         run_idx = jnp.full((qt, k), -1, jnp.int32)
 
-        def body(tile, carry):
+        def tile_body(tile, carry, masked):
             run_vals, run_idx = carry
             slot = tile % 2
 
-            @pl.when(tile + 1 < num_g_tiles)
+            @pl.when(tile + 1 < num_proc)
             def _():
                 g_dma((tile + 1) % 2, tile + 1).start()
 
@@ -145,18 +164,22 @@ def _make_kernel(k: int, gallery_tile: int, num_g_tiles: int,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [Qt, Gt] — f32 accumulation regardless of compute_dtype
-            g_idx = tile * gallery_tile + jax.lax.broadcasted_iota(
-                jnp.int32, (qt, gallery_tile), 1
-            )
-            # gallery rows past the true count are padding: never selectable
-            scores = jnp.where(g_idx < valid_gallery, scores, NEG_INF)
-            return _fold_tile(run_vals, run_idx, scores, g_idx, k)
+            if masked:  # static: only the tail tile has padding rows
+                col = jax.lax.broadcasted_iota(
+                    jnp.int32, (qt, gallery_tile), 1)
+                scores = jnp.where(col < tail_rows, scores, NEG_INF)
+            return _fold_tile(run_vals, run_idx, scores,
+                              tile * gallery_tile, k)
 
-        run_vals, run_idx = jax.lax.fori_loop(
-            0, num_g_tiles, body, (run_vals, run_idx)
-        )
-        vals_ref[:] = run_vals
-        idx_ref[:] = run_idx
+        carry = (run_vals, run_idx)
+        if num_clean:
+            carry = jax.lax.fori_loop(
+                0, num_clean, functools.partial(tile_body, masked=False),
+                carry)
+        if tail_rows:
+            carry = tile_body(num_clean, carry, masked=True)
+        vals_ref[:] = carry[0]
+        idx_ref[:] = carry[1]
 
     return kernel
 
@@ -191,10 +214,9 @@ def topk_similarity(
     g_count = gallery.shape[0]
     assert q_count % query_tile == 0, (q_count, query_tile)
     assert g_count % gallery_tile == 0, (g_count, gallery_tile)
-    num_g_tiles = g_count // gallery_tile
 
-    kernel = _make_kernel(k, gallery_tile, num_g_tiles,
-                          valid_gallery or g_count, compute_dtype)
+    kernel = _make_kernel(k, gallery_tile, valid_gallery or g_count,
+                          compute_dtype)
     vals, idx = pl.pallas_call(
         kernel,
         grid=(q_count // query_tile,),
@@ -223,15 +245,18 @@ def topk_similarity(
     return vals, idx
 
 
-def _make_quant_kernel(k: int, gallery_tile: int, num_g_tiles: int,
-                       valid_gallery: int):
+def _make_quant_kernel(k: int, gallery_tile: int, valid_gallery: int):
     """Streaming top-k over an int8-quantized gallery (ops/quant.py rows).
 
     The gallery streams from HBM as int8 (4x less traffic than f32) with
     its per-row f32 scales; scores are computed exactly like
     ``quant.quantized_scores`` — bf16 query x bf16(int8) contraction with
     f32 accumulation, scales folded in per score column — so results match
-    the materializing path bit for bit (int8 -> bf16 is exact)."""
+    the materializing path bit for bit (int8 -> bf16 is exact).  Same
+    static clean/tail tile split as the f32 kernel."""
+    num_clean = valid_gallery // gallery_tile
+    tail_rows = valid_gallery % gallery_tile
+    num_proc = num_clean + (1 if tail_rows else 0)
 
     def kernel(q_ref, g_hbm, s_hbm, vals_ref, idx_ref, g_scratch, s_scratch,
                sem, s_sem):
@@ -261,11 +286,11 @@ def _make_quant_kernel(k: int, gallery_tile: int, num_g_tiles: int,
         run_vals = jnp.full((qt, k), NEG_INF, jnp.float32)
         run_idx = jnp.full((qt, k), -1, jnp.int32)
 
-        def body(tile, carry):
+        def tile_body(tile, carry, masked):
             run_vals, run_idx = carry
             slot = tile % 2
 
-            @pl.when(tile + 1 < num_g_tiles)
+            @pl.when(tile + 1 < num_proc)
             def _():
                 g_dma((tile + 1) % 2, tile + 1).start()
                 s_dma((tile + 1) % 2, tile + 1).start()
@@ -280,17 +305,22 @@ def _make_quant_kernel(k: int, gallery_tile: int, num_g_tiles: int,
                 preferred_element_type=jnp.float32,
             )  # [Qt, Gt]
             scores = raw * s_scratch[slot]  # [1, Gt] broadcasts over rows
-            g_idx = tile * gallery_tile + jax.lax.broadcasted_iota(
-                jnp.int32, (qt, gallery_tile), 1
-            )
-            scores = jnp.where(g_idx < valid_gallery, scores, NEG_INF)
-            return _fold_tile(run_vals, run_idx, scores, g_idx, k)
+            if masked:  # static: only the tail tile has padding rows
+                col = jax.lax.broadcasted_iota(
+                    jnp.int32, (qt, gallery_tile), 1)
+                scores = jnp.where(col < tail_rows, scores, NEG_INF)
+            return _fold_tile(run_vals, run_idx, scores,
+                              tile * gallery_tile, k)
 
-        run_vals, run_idx = jax.lax.fori_loop(
-            0, num_g_tiles, body, (run_vals, run_idx)
-        )
-        vals_ref[:] = run_vals
-        idx_ref[:] = run_idx
+        carry = (run_vals, run_idx)
+        if num_clean:
+            carry = jax.lax.fori_loop(
+                0, num_clean, functools.partial(tile_body, masked=False),
+                carry)
+        if tail_rows:
+            carry = tile_body(num_clean, carry, masked=True)
+        vals_ref[:] = carry[0]
+        idx_ref[:] = carry[1]
 
     return kernel
 
@@ -319,10 +349,8 @@ def topk_similarity_quantized(
     assert gallery_q.dtype == jnp.int8, gallery_q.dtype
     assert q_count % query_tile == 0, (q_count, query_tile)
     assert g_count % gallery_tile == 0, (g_count, gallery_tile)
-    num_g_tiles = g_count // gallery_tile
 
-    kernel = _make_quant_kernel(k, gallery_tile, num_g_tiles,
-                                valid_gallery or g_count)
+    kernel = _make_quant_kernel(k, gallery_tile, valid_gallery or g_count)
     vals, idx = pl.pallas_call(
         kernel,
         grid=(q_count // query_tile,),

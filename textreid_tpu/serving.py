@@ -85,12 +85,23 @@ class RetrievalIndex:
                               method="embed_text")
             return l2_normalize(emb.astype(jnp.float32), axis=1)
 
+        # int8 encode modes: "dataflow" (default for True; m_resnet towers)
+        # runs the true int8-dataflow graph (models/int8_tower.py, int8
+        # activations between convs, calibrated on the first gallery
+        # batches); "intercept" uses the per-conv interceptor
+        # (models/quant_tower.py) — the fallback for other towers.
+        self._int8_pending = False
         if int8_encode:
-            # int8-conv visual tower (models/quant_tower.py): ~2x encode
-            # throughput for index builds, small measured ranking deltas
-            from .models.quant_tower import int8_image_encoder
+            from .models.m_resnet import ModifiedResNet
 
-            _encode_images = int8_image_encoder(self.model, state)
+            mode = ("dataflow" if int8_encode is True else int8_encode)
+            if (mode == "dataflow"
+                    and isinstance(self.model.visual, ModifiedResNet)):
+                self._int8_pending = True  # calibrate in build_gallery
+            else:
+                from .models.quant_tower import int8_image_encoder
+
+                _encode_images = int8_image_encoder(self.model, state)
         self._encode_images = _encode_images
         self._encode_texts = _encode_texts
 
@@ -98,6 +109,8 @@ class RetrievalIndex:
     def build_gallery(self, batches, meta=None) -> None:
         """Encode an iterable of pixel batches ([B,H,W,3] uint8/f32) into
         the index.  ``meta`` optionally carries per-image ids."""
+        if self._int8_pending:
+            batches = self._build_int8_encoder(batches)
         chunks = []
         for batch in batches:
             pixels = jnp.asarray(batch)
@@ -113,6 +126,25 @@ class RetrievalIndex:
 
             self._quant_gallery = quantize_rows(self.gallery)
         self._finalize_mesh_gallery()
+
+    def _build_int8_encoder(self, batches):
+        """Calibrate the int8-dataflow tower on the first gallery batches
+        and swap it in as the image encoder; returns an iterable replaying
+        every batch (calibration ones included)."""
+        import itertools
+
+        batches = iter(batches)
+        calib = list(itertools.islice(batches, 4))
+        if not calib:
+            raise ValueError("build_gallery needs at least one batch")
+        from .models.int8_tower import build_int8_encoder
+
+        encode, tower = build_int8_encoder(self.model, self.state, calib)
+        self._encode_images = (
+            lambda state, pixels, erase: encode(state, tower, pixels, erase)
+        )
+        self._int8_pending = False
+        return itertools.chain(calib, batches)
 
     def _finalize_mesh_gallery(self) -> None:
         """Pad/augment and shard ``self.gallery`` over the mesh (no-op
