@@ -87,6 +87,7 @@ def run_cli(script, args, cwd):
 
 @pytest.mark.slow
 class TestCLIWorkflow:
+    @pytest.mark.slow_smoke
     def test_train_then_eval(self, workspace):
         cfg_rel = "configs/tiny/smoke.yaml"
         out = run_cli(

@@ -206,6 +206,7 @@ def _run_workers(script=WORKER):
     return outs
 
 
+@pytest.mark.slow_smoke
 def test_two_process_sharded_step_agrees():
     # one retry: the coordinator rendezvous can flake under machine load
     try:

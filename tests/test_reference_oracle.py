@@ -187,6 +187,7 @@ def reference_metric_grid(npz):
 
 
 class TestEvalParity:
+    @pytest.mark.slow_smoke
     def test_full_eval_pipeline_matches_reference(self, oracle_env, tmp_path):
         cfg, ref_model = oracle_env["cfg"], oracle_env["ref_model"]
         install_reference_shims()
@@ -321,6 +322,7 @@ class TestEvalParity:
 
 
 class TestTrainParity:
+    @pytest.mark.slow_smoke
     def test_moco_train_steps_match_reference(self, oracle_env):
         """N full MoCo optimization steps from identical weights and batches:
         per-step loss dicts must match the torch pipeline (trainer.py:72-121,

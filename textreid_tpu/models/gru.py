@@ -41,6 +41,26 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def _embed_lookup(table: Array, token_ids: Array) -> Array:
+    """Embedding lookup; small tables route through a one-hot matmul.
+
+    TPU gathers run at a fraction of HBM bandwidth (~80 GB/s observed for
+    the flagship's [B*T, 512] lookup, 0.35 ms/step in the round-4 trace)
+    while the equivalent one-hot contraction is MXU work — exact, since
+    each output row is a single 1.0 term.  The crossover favors the
+    matmul while B*T*V stays small; above 2048 rows (e.g. a full CLIP BPE
+    table) the gather wins and is kept."""
+    vocab = table.shape[0]
+    if vocab > 2048:
+        return jnp.take(table, token_ids, axis=0)
+    one_hot = jax.nn.one_hot(token_ids, vocab, dtype=table.dtype)
+    return jax.lax.dot_general(
+        one_hot, table,
+        (((one_hot.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=table.dtype,
+    )
+
+
 def torch_rnn_init(hidden_dim: int) -> Callable:
     """torch GRU default init: U(-1/sqrt(H), 1/sqrt(H))."""
     k = 1.0 / (hidden_dim**0.5)
@@ -166,7 +186,7 @@ class BiGRUEncoder(nn.Module):
             )
             # torch nn.Embedding(padding_idx=0) zeroes the pad row.
             table = table.at[0].set(0.0).astype(self.dtype)
-            return jnp.take(table, token_ids, axis=0)
+            return _embed_lookup(table, token_ids)
 
         if self.frozen_table_init is not None:
             init_fn = lambda: jnp.asarray(self.frozen_table_init(), self.dtype)  # noqa: E731
@@ -183,7 +203,7 @@ class BiGRUEncoder(nn.Module):
                 "synthetic runs."
             )
         table = self.variable("constants", "frozen_token_table", init_fn).value
-        embedded = jnp.take(table, token_ids, axis=0)
+        embedded = _embed_lookup(table, token_ids)
         if table.shape[-1] != self.embed_size:
             embedded = nn.Dense(self.embed_size, dtype=self.dtype, name="embed_adapter")(
                 embedded

@@ -153,9 +153,11 @@ def _requant(y_f, scale, asym: bool = False):
     Symmetric: ``q = round(y/s)`` in [-127, 127] (s = amax/127).
     Asymmetric (ReLU outputs): ``q = round(y/s) - 128`` in [-128, 126]
     (s = amax/254), decoding as ``(q + 128) * s``."""
-    q = jnp.round(y_f / scale)
+    inv = jax.lax.reciprocal(scale).astype(y_f.dtype)
+    q = jnp.round(y_f * inv)
     if asym:
-        return jnp.clip(q - 128.0, -128, 126).astype(jnp.int8)
+        q = q - jnp.asarray(128.0, y_f.dtype)
+        return jnp.clip(q, -128, 126).astype(jnp.int8)
     return jnp.clip(q, -127, 127).astype(jnp.int8)
 
 
@@ -226,6 +228,13 @@ def _folded_trunk_float(visual, params, stats, x, record: Optional[dict]):
             wd, bd = _fold_bn(bp["downsample_conv"], bp["downsample_bn"],
                               bs["downsample_bn"])
             identity = _conv(identity, wd, (1, 1)) + bd
+            # downsample OUTPUT site (symmetric — pre-ReLU, signed): the
+            # int8 graph requantizes this branch so the residual add reads
+            # an s8 tensor, not the conv's s32 accumulator.  Two convs
+            # feed one add, and a fusion can own only one of them — the
+            # other's s32 feature map would round-trip HBM at 4x the
+            # bytes (observed on-chip: a 402 MB s32 write at layer1).
+            rec(f"{spec.name}.downsample_out", identity)
         x = jax.nn.relu(out + identity)
     return x
 
@@ -327,26 +336,36 @@ def prepare_int8_tower(visual, params, stats, amax: Dict[str, np.ndarray],
 # int8 inference graph
 # ---------------------------------------------------------------------------
 
-def _int8_unit(tower: Int8Tower, name: str, xq, strides):
-    """int8 conv -> f32 epilogue input (``*s_w + b`` not yet applied)."""
+def _int8_unit(tower: Int8Tower, name: str, xq, strides,
+               ep_dtype=jnp.float32):
+    """int8 conv -> ``ep_dtype`` epilogue value (``*s_w + b`` applied)."""
     u = tower.units[name]
     y = _conv(xq, u["w_q"], strides, preferred=jnp.int32)
-    return y.astype(jnp.float32) * u["s_w"] + u["b"]
+    return (y.astype(ep_dtype) * u["s_w"].astype(ep_dtype)
+            + u["b"].astype(ep_dtype))
 
 
-def int8_trunk_apply(visual, tower: Int8Tower, x) -> jax.Array:
+def int8_trunk_apply(visual, tower: Int8Tower, x,
+                     epilogue_dtype=jnp.float32) -> jax.Array:
     """Normalized float pixels [B,H,W,3] -> float trunk features
     [B,h,w,C].  Every inter-conv tensor is int8; each epilogue is one
-    fused elementwise chain on the conv output."""
+    fused elementwise chain on the conv output.
+
+    ``epilogue_dtype=jnp.bfloat16`` halves the VPU cost of the epilogues
+    (the dominant non-MXU cost on big-spatial layers) at ~half an extra
+    quantization step of noise: bf16 represents every integer to +-256
+    exactly, so the round/clip stay exact — only the scale multiply
+    carries the 2^-8 relative rounding."""
+    ep = epilogue_dtype
     specs = _trunk_specs(visual)
 
     def requant_to(y, site):
         return _requant(y, tower.scales[site], _is_asym_site(site))
 
-    xq = requant_to(x.astype(jnp.float32), "conv1")
+    xq = requant_to(x.astype(ep), "conv1")
     first_site = specs[0].name + ".conv1"
     for unit, nxt in zip(_stem_units(), ["conv2", "conv3", first_site]):
-        y = jax.nn.relu(_int8_unit(tower, unit.name, xq, unit.strides))
+        y = jax.nn.relu(_int8_unit(tower, unit.name, xq, unit.strides, ep))
         xq = requant_to(y, nxt)
     xq = _avg_pool_int8(xq)
 
@@ -354,22 +373,29 @@ def int8_trunk_apply(visual, tower: Int8Tower, x) -> jax.Array:
         n = spec.name
         next_site = (specs[i + 1].name + ".conv1"
                      if i + 1 < len(specs) else None)
-        y1 = jax.nn.relu(_int8_unit(tower, f"{n}.conv1", xq, (1, 1)))
+        y1 = jax.nn.relu(_int8_unit(tower, f"{n}.conv1", xq, (1, 1), ep))
         q2 = requant_to(y1, f"{n}.conv2")
-        y2 = jax.nn.relu(_int8_unit(tower, f"{n}.conv2", q2, (1, 1)))
+        y2 = jax.nn.relu(_int8_unit(tower, f"{n}.conv2", q2, (1, 1), ep))
         q3 = requant_to(y2, f"{n}.conv3")
         if spec.stride > 1:
             q3 = _avg_pool_int8(q3)
-        y3 = _int8_unit(tower, f"{n}.conv3", q3, (1, 1))
+        y3 = _int8_unit(tower, f"{n}.conv3", q3, (1, 1), ep)
         if spec.has_downsample:
             idq = _avg_pool_int8(xq) if spec.stride > 1 else xq
-            id_f = _int8_unit(tower, f"{n}.downsample", idq, (1, 1))
+            ds_f = _int8_unit(tower, f"{n}.downsample", idq, (1, 1), ep)
+            # requantize the branch so the residual add reads s8, not the
+            # conv's s32 accumulator: two convs feed one add and a fusion
+            # can own only one — the other's s32 map would round-trip HBM
+            # at 4x the bytes (observed: 402 MB at layer1)
+            s_ds = tower.scales[f"{n}.downsample_out"]
+            ds_q = _requant(ds_f, s_ds)
+            id_f = ds_q.astype(ep) * s_ds.astype(ep)
         else:
             # dequantize the residual inline (per-channel scale multiply
             # + the zero-point shift, fused into the add/relu/requant
             # chain); the block-input site is always asymmetric
-            id_f = (xq.astype(jnp.float32) + 128.0) * \
-                tower.scales[f"{n}.conv1"]
+            id_f = (xq.astype(ep) + jnp.asarray(128.0, ep)) * \
+                tower.scales[f"{n}.conv1"].astype(ep)
         out = jax.nn.relu(y3 + id_f)
         if next_site is None:
             return out  # float: feeds the bf16 attention pool
