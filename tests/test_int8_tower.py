@@ -121,6 +121,40 @@ class TestInt8Trunk:
             np.linalg.norm(w, axis=1) * np.linalg.norm(g, axis=1) + 1e-12)
         assert cos.min() > 0.995, cos
 
+    def test_mixed_precision_front_agrees(self, tower_setup):
+        """float_blocks keeps the stem + first N blocks in folded bf16;
+        the mixed graph must agree with the float trunk at least as well
+        as the all-int8 one (fewer quantized edges)."""
+        visual, params, stats = tower_setup
+        calib = _norm_batch(4, seed=7)
+        amax = calibrate_amax(visual, params, stats, [calib],
+                              (0.5,) * 3, (0.25,) * 3)
+        x = jnp.asarray(_norm_batch(4, seed=8))
+        want = np.asarray(_folded_trunk_float(visual, params, stats, x,
+                                              None))
+
+        def min_cos(got):
+            w = want.reshape(want.shape[0], -1)
+            g = got.reshape(got.shape[0], -1)
+            return ((w * g).sum(1) / (np.linalg.norm(w, axis=1)
+                                      * np.linalg.norm(g, axis=1)
+                                      + 1e-12)).min()
+
+        tower_all = prepare_int8_tower(visual, params, stats, amax)
+        cos_all = min_cos(np.asarray(int8_trunk_apply(visual, tower_all,
+                                                      x)))
+        tower_mixed = prepare_int8_tower(visual, params, stats, amax,
+                                         float_blocks=2)
+        got = np.asarray(int8_trunk_apply(visual, tower_mixed, x,
+                                          float_blocks=2))
+        cos_mixed = min_cos(got)
+        assert cos_mixed > 0.995
+        assert cos_mixed >= cos_all - 5e-4, (cos_mixed, cos_all)
+        # float-block units store bf16 kernels, int8 region stays int8
+        assert tower_mixed.units["layer1_0.conv2"]["w"].dtype == \
+            jnp.bfloat16
+        assert tower_mixed.units["layer4_0.conv2"]["w_q"].dtype == jnp.int8
+
     def test_inter_conv_tensors_are_int8(self, tower_setup):
         """The capability claim: what the graph materializes between convs
         is int8 (weights int8, activations quantized per edge)."""

@@ -283,10 +283,19 @@ def calibrate_amax(visual, params, stats, batches, pixel_mean, pixel_std):
 
 
 def prepare_int8_tower(visual, params, stats, amax: Dict[str, np.ndarray],
-                       dtype=jnp.bfloat16) -> Int8Tower:
+                       float_blocks: int = 0) -> Int8Tower:
     """Fold BN, fold per-input-channel activation scales into the kernels,
-    and quantize weights per-output-channel."""
-    del dtype  # epilogues run f32; kept for signature stability
+    and quantize weights per-output-channel.
+
+    ``float_blocks`` keeps the stem and the first N bottleneck blocks in
+    folded bf16 instead of int8 (``int8_trunk_apply`` must be called with
+    the same value).  Measured motivation (v5e): on big-spatial /
+    narrow-channel layers the fused requant epilogue's per-element VPU
+    cost (s32->f32 convert + scale + round + s8 pack, ~4-5 ps/element)
+    exceeds the conv itself — an L1 1x1 int8 conv+epilogue probed 0.48 ms
+    vs 0.17 ms for the plain bf16 conv — while wide late-stage convs run
+    near the int8 MXU peak.  Mixed precision keeps int8 where the MXU
+    wins and bf16 where the epilogue would eat it."""
     units = {}
     site_scale = {
         s: jnp.maximum(jnp.asarray(a, jnp.float32), 1e-8)
@@ -311,12 +320,32 @@ def prepare_int8_tower(visual, params, stats, amax: Dict[str, np.ndarray],
                 w_q.astype(jnp.float32), axis=(0, 1, 2))
         units[name] = {"w_q": w_q, "s_w": s_w, "b": b}
 
-    stem = _stem_units()
-    for prev, unit in zip(["conv1", "conv2", "conv3"], stem):
-        make_unit(unit.name, params[unit.conv], params[unit.bn],
-                  stats[unit.bn], unit.name)
-    for spec in _trunk_specs(visual):
+    def make_float_unit(name, conv_p, bn_p, bn_s):
+        w, b = _fold_bn(conv_p, bn_p, bn_s)
+        units[name] = {"w": w.astype(jnp.bfloat16), "b": b}
+
+    stem_float = float_blocks > 0
+    for unit in _stem_units():
+        if stem_float:
+            make_float_unit(unit.name, params[unit.conv], params[unit.bn],
+                            stats[unit.bn])
+        else:
+            make_unit(unit.name, params[unit.conv], params[unit.bn],
+                      stats[unit.bn], unit.name)
+    for bi, spec in enumerate(_trunk_specs(visual)):
         bp, bs = params[spec.name], stats[spec.name]
+        if bi < float_blocks:
+            make_float_unit(f"{spec.name}.conv1", bp["conv1"], bp["bn1"],
+                            bs["bn1"])
+            make_float_unit(f"{spec.name}.conv2", bp["conv2"], bp["bn2"],
+                            bs["bn2"])
+            make_float_unit(f"{spec.name}.conv3", bp["conv3"], bp["bn3"],
+                            bs["bn3"])
+            if spec.has_downsample:
+                make_float_unit(f"{spec.name}.downsample",
+                                bp["downsample_conv"], bp["downsample_bn"],
+                                bs["downsample_bn"])
+            continue
         make_unit(f"{spec.name}.conv1", bp["conv1"], bp["bn1"], bs["bn1"],
                   f"{spec.name}.conv1")
         make_unit(f"{spec.name}.conv2", bp["conv2"], bp["bn2"], bs["bn2"],
@@ -345,34 +374,70 @@ def _int8_unit(tower: Int8Tower, name: str, xq, strides,
             + u["b"].astype(ep_dtype))
 
 
-def int8_trunk_apply(visual, tower: Int8Tower, x,
-                     epilogue_dtype=jnp.float32) -> jax.Array:
-    """Normalized float pixels [B,H,W,3] -> float trunk features
-    [B,h,w,C].  Every inter-conv tensor is int8; each epilogue is one
-    fused elementwise chain on the conv output.
+def _float_unit(tower: Int8Tower, name: str, xf, strides):
+    """Folded bf16 conv+BN unit (mixed-precision front of the tower)."""
+    u = tower.units[name]
+    y = _conv(xf.astype(jnp.bfloat16), u["w"], strides,
+              preferred=jnp.float32)
+    return y + u["b"]
 
-    ``epilogue_dtype=jnp.bfloat16`` halves the VPU cost of the epilogues
-    (the dominant non-MXU cost on big-spatial layers) at ~half an extra
-    quantization step of noise: bf16 represents every integer to +-256
-    exactly, so the round/clip stay exact — only the scale multiply
-    carries the 2^-8 relative rounding."""
+
+def int8_trunk_apply(visual, tower: Int8Tower, x,
+                     epilogue_dtype=jnp.float32,
+                     float_blocks: int = 0) -> jax.Array:
+    """Normalized float pixels [B,H,W,3] -> float trunk features
+    [B,h,w,C].  Inter-conv tensors are int8 in the quantized region; each
+    epilogue is one fused elementwise chain on the conv output.
+
+    ``float_blocks`` (must match ``prepare_int8_tower``) keeps the stem
+    and the first N bottleneck blocks in folded bf16 — see the prepare
+    docstring for the measured motivation.  ``epilogue_dtype`` selects
+    the arithmetic dtype of the fused requant chains."""
     ep = epilogue_dtype
     specs = _trunk_specs(visual)
 
     def requant_to(y, site):
-        return _requant(y, tower.scales[site], _is_asym_site(site))
+        return _requant(y.astype(ep), tower.scales[site].astype(ep),
+                        _is_asym_site(site))
 
-    xq = requant_to(x.astype(ep), "conv1")
-    first_site = specs[0].name + ".conv1"
-    for unit, nxt in zip(_stem_units(), ["conv2", "conv3", first_site]):
-        y = jax.nn.relu(_int8_unit(tower, unit.name, xq, unit.strides, ep))
-        xq = requant_to(y, nxt)
-    xq = _avg_pool_int8(xq)
+    xq = xf = None
+    if float_blocks > 0:
+        xf = x.astype(jnp.float32)
+        for unit in _stem_units():
+            xf = jax.nn.relu(_float_unit(tower, unit.name, xf,
+                                         unit.strides))
+        xf = _avg_pool_f32(xf)
+    else:
+        xq = requant_to(x, "conv1")
+        first_site = specs[0].name + ".conv1"
+        for unit, nxt in zip(_stem_units(), ["conv2", "conv3", first_site]):
+            y = jax.nn.relu(_int8_unit(tower, unit.name, xq, unit.strides,
+                                       ep))
+            xq = requant_to(y, nxt)
+        xq = _avg_pool_int8(xq)
 
     for i, spec in enumerate(specs):
         n = spec.name
         next_site = (specs[i + 1].name + ".conv1"
                      if i + 1 < len(specs) else None)
+        if i < float_blocks:
+            f1 = jax.nn.relu(_float_unit(tower, f"{n}.conv1", xf, (1, 1)))
+            f2 = jax.nn.relu(_float_unit(tower, f"{n}.conv2", f1, (1, 1)))
+            if spec.stride > 1:
+                f2 = _avg_pool_f32(f2)
+            f3 = _float_unit(tower, f"{n}.conv3", f2, (1, 1))
+            identity = xf
+            if spec.has_downsample:
+                if spec.stride > 1:
+                    identity = _avg_pool_f32(identity)
+                identity = _float_unit(tower, f"{n}.downsample", identity,
+                                       (1, 1))
+            xf = jax.nn.relu(f3 + identity)
+            if i + 1 == float_blocks and next_site is not None:
+                xq = requant_to(xf, next_site)  # float -> int8 boundary
+            if next_site is None:
+                return xf
+            continue
         y1 = jax.nn.relu(_int8_unit(tower, f"{n}.conv1", xq, (1, 1), ep))
         q2 = requant_to(y1, f"{n}.conv2")
         y2 = jax.nn.relu(_int8_unit(tower, f"{n}.conv2", q2, (1, 1), ep))
@@ -388,7 +453,7 @@ def int8_trunk_apply(visual, tower: Int8Tower, x,
             # can own only one — the other's s32 map would round-trip HBM
             # at 4x the bytes (observed: 402 MB at layer1)
             s_ds = tower.scales[f"{n}.downsample_out"]
-            ds_q = _requant(ds_f, s_ds)
+            ds_q = _requant(ds_f, s_ds.astype(ep))
             id_f = ds_q.astype(ep) * s_ds.astype(ep)
         else:
             # dequantize the residual inline (per-channel scale multiply
@@ -407,7 +472,9 @@ def int8_trunk_apply(visual, tower: Int8Tower, x,
 # Serving integration
 # ---------------------------------------------------------------------------
 
-def build_int8_encoder(model, state, calib_batches, interpret_ok=True):
+def build_int8_encoder(model, state, calib_batches,
+                       epilogue_dtype=jnp.float32,
+                       float_blocks: int = 0):
     """Calibrate + prepare, returning ``(encode, tower)`` where ``encode``
     is a jitted ``(state, tower, pixels, erase) -> normalized embeddings``
     drop-in for the float/interceptor encoders (serving.RetrievalIndex).
@@ -419,7 +486,6 @@ def build_int8_encoder(model, state, calib_batches, interpret_ok=True):
     Reference hot path being accelerated:
     `/root/reference/lib/engine/inference.py:14-26`.
     """
-    del interpret_ok
     visual = model.visual
     if not isinstance(visual, ModifiedResNet):
         raise NotImplementedError(
@@ -430,7 +496,8 @@ def build_int8_encoder(model, state, calib_batches, interpret_ok=True):
     vstats = state.batch_stats["visual"]
     amax = calibrate_amax(visual, vparams, vstats, calib_batches,
                           model.pixel_mean, model.pixel_std)
-    tower = prepare_int8_tower(visual, vparams, vstats, amax)
+    tower = prepare_int8_tower(visual, vparams, vstats, amax,
+                               float_blocks=float_blocks)
 
     pool = AttentionPool2d(
         spacial_dim=visual.final_grid,
@@ -446,7 +513,9 @@ def build_int8_encoder(model, state, calib_batches, interpret_ok=True):
     def encode(state, tower, pixels, erase):
         x = preprocess_pixels(pixels, erase, model.pixel_mean,
                               model.pixel_std, jnp.float32)
-        feat = int8_trunk_apply(visual, tower, x)
+        feat = int8_trunk_apply(visual, tower, x,
+                                epilogue_dtype=epilogue_dtype,
+                                float_blocks=float_blocks)
         feat = pool.apply({"params": vparams_attnpool(state)},
                           feat.astype(visual.dtype))
         emb = model.apply({"params": state.params}, feat,
