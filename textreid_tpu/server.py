@@ -49,8 +49,11 @@ from typing import Optional
 import numpy as np
 
 MAX_BATCH = 256  # per-request cap: bound device memory + pad waste
-# canonical k values actually compiled (requests trim down from the next
-# bucket on the host); ordered ascending
+# Default canonical k values actually compiled (requests trim down from
+# the next bucket on the host); ordered ascending.  The last bucket is
+# the service's max k — a deliberate contract (each distinct k compiles
+# one ranking program; an unbounded k would let one client compile-storm
+# the device), overridable per service via ``k_buckets=``.
 K_BUCKETS = (10, 100, 1000)
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
@@ -92,11 +95,15 @@ class RetrievalService:
 
     def __init__(self, index, max_text_length: int = 100,
                  tokenizer: Optional[SimpleTokenizer] = None,
-                 default_k: int = 10, batch_window_ms: float = 0.0):
+                 default_k: int = 10, batch_window_ms: float = 0.0,
+                 k_buckets=K_BUCKETS):
         self.index = index
         self.max_text_length = int(max_text_length)
         self.tokenizer = tokenizer
         self.default_k = int(default_k)
+        self.k_buckets = tuple(sorted(int(b) for b in k_buckets))
+        if not self.k_buckets or self.k_buckets[0] < 1:
+            raise ValueError(f"invalid k_buckets {k_buckets}")
         self._lock = threading.Lock()        # serializes device work
         self._stats_lock = threading.Lock()  # counters: += is not atomic
         self._latencies_ms = deque(maxlen=1000)
@@ -123,7 +130,7 @@ class RetrievalService:
         # host, so at most len(K_BUCKETS) ranking programs ever exist.
         # Returns (scores, meta, t_start, t_end): callers derive their own
         # wait (t_start - enqueue) and device (t_end - t_start) splits.
-        k_run = next(b for b in K_BUCKETS if b >= k)
+        k_run = next(b for b in self.k_buckets if b >= k)
         with self._lock:
             t_start = time.time()
             self._counts["device_batches"] += 1
@@ -174,8 +181,8 @@ class RetrievalService:
     def search(self, payload: dict) -> dict:
         token_ids, lengths = self._parse_queries(payload)
         k = payload.get("k", self.default_k)
-        if not isinstance(k, int) or k < 1 or k > K_BUCKETS[-1]:
-            raise ValueError(f"k must be an int in [1, {K_BUCKETS[-1]}]")
+        if not isinstance(k, int) or k < 1 or k > self.k_buckets[-1]:
+            raise ValueError(f"k must be an int in [1, {self.k_buckets[-1]}]")
         t0 = time.time()
         if self._queue is not None:
             fut: Future = Future()

@@ -47,6 +47,10 @@ def main():
     parser.add_argument("--quantize", action="store_true",
                         help="serve int8 scoring (index must carry it or "
                         "it is re-quantized at load)")
+    parser.add_argument("--k-buckets", default="10,100,1000",
+                        help="comma-separated canonical k values; the "
+                        "largest is the service's max k (each bucket "
+                        "compiles one ranking program)")
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -85,7 +89,8 @@ def main():
                  if args.vocab_file else None)
     service = RetrievalService(
         index, max_text_length=cfg.INPUT.MAX_TEXT_LENGTH,
-        tokenizer=tokenizer, batch_window_ms=args.batch_window_ms)
+        tokenizer=tokenizer, batch_window_ms=args.batch_window_ms,
+        k_buckets=[int(b) for b in args.k_buckets.split(",")])
 
     # warm the jit caches before accepting traffic: first-query latency on
     # TPU is a compile (~seconds), not a search
