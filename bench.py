@@ -356,36 +356,25 @@ def bench_stages():
         feat = int8t.int8_trunk_apply(visual, tower, x)
         return ap.apply({"params": ap_params}, feat.astype(jnp.bfloat16))
 
-    def visual_int8_dataflow_bf16ep(tower, ap_params, x):
-        # bf16 epilogues: halves the per-element VPU cost of the fused
-        # requant chains (the non-MXU tax on big-spatial layers)
-        feat = int8t.int8_trunk_apply(visual, tower, x,
-                                      epilogue_dtype=jnp.bfloat16)
-        return ap.apply({"params": ap_params}, feat.astype(jnp.bfloat16))
-
     ap_params = vvars["params"]["attnpool"]
     stage("visual_fwd_int8_dataflow", visual_int8_dataflow,
-          (tower, ap_params, pixels), iters=50)
-    stage("visual_fwd_int8_dataflow_bf16ep", visual_int8_dataflow_bf16ep,
           (tower, ap_params, pixels), iters=50)
     # bf16 reference with the SAME settled stats, same run
     bf16_ref = jax.jit(
         lambda p, s, x: visual.apply({"params": p, "batch_stats": s}, x)
     )(vvars["params"], vstats, pixels)
     a = np.asarray(bf16_ref, np.float32)
-    for suffix, fn in (("", visual_int8_dataflow),
-                       ("_bf16ep", visual_int8_dataflow_bf16ep)):
-        b = np.asarray(jax.jit(fn)(tower, ap_params, pixels), np.float32)
-        cos = (a * b).sum(1) / (np.linalg.norm(a, axis=1)
-                                * np.linalg.norm(b, axis=1) + 1e-12)
-        ms = report[f"visual_fwd_int8_dataflow{suffix}_ms"]
-        report[f"int8_dataflow{suffix}_min_cosine"] = float(cos.min())
-        report[f"int8_dataflow{suffix}_speedup_vs_bf16"] = round(
-            report["visual_fwd_ms"] / ms, 3)
-        log(f"int8 dataflow{suffix or '(f32 ep)'}: {ms:.2f} ms vs bf16 "
-            f"{report['visual_fwd_ms']:.2f} ms "
-            f"({report[f'int8_dataflow{suffix}_speedup_vs_bf16']}x), "
-            f"min cosine {cos.min():.5f}")
+    b = np.asarray(jax.jit(visual_int8_dataflow)(tower, ap_params, pixels),
+                   np.float32)
+    cos = (a * b).sum(1) / (np.linalg.norm(a, axis=1)
+                            * np.linalg.norm(b, axis=1) + 1e-12)
+    report["int8_dataflow_min_cosine"] = float(cos.min())
+    report["int8_dataflow_speedup_vs_bf16"] = round(
+        report["visual_fwd_ms"] / report["visual_fwd_int8_dataflow_ms"], 3)
+    log(f"int8 dataflow: {report['visual_fwd_int8_dataflow_ms']:.2f} ms "
+        f"vs bf16 {report['visual_fwd_ms']:.2f} ms "
+        f"({report['int8_dataflow_speedup_vs_bf16']}x), "
+        f"min cosine {cos.min():.5f}")
 
     # ViT-B/16 tower at the same input (the BASELINE.json stretch backbone)
     vit = VisionTransformer(input_resolution=(384, 128), patch_size=16,
