@@ -320,3 +320,72 @@ class TestKBucketsConfig:
     def test_invalid_buckets_rejected(self, index):
         with pytest.raises(ValueError, match="k_buckets"):
             RetrievalService(index, max_text_length=MAXLEN, k_buckets=())
+
+
+class TestReloadIndex:
+    """POST /reload_index hot-swaps the gallery from a persisted index
+    (replica refresh without restart); path-confined and disabled unless a
+    reload directory was configured."""
+
+    def _save_two_indexes(self, index, tmp_path):
+        rng = np.random.RandomState(31)
+        other = RetrievalIndex(index.model, index.state, use_pallas=False)
+        other.build_gallery(
+            [rng.randint(0, 255, (5, 32, 16, 3), dtype=np.uint8)],
+            meta=np.arange(900, 905))
+        a, b = str(tmp_path / "a.idx"), str(tmp_path / "b.idx")
+        index.save_index(a)
+        other.save_index(b)
+        return a, b
+
+    def test_reload_swaps_results(self, index, tmp_path):
+        a, b = self._save_two_indexes(index, tmp_path)
+        boot = RetrievalIndex(index.model, index.state, use_pallas=False)
+        boot.load_index(a)
+        service = RetrievalService(boot, max_text_length=MAXLEN,
+                                  reload_dir=str(tmp_path))
+        srv = make_server(service)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        host, port = srv.server_address
+        url = f"http://{host}:{port}"
+        _, before = _post(url, {"token_ids": [[3, 4, 5]], "k": 3})
+        status, out = _post_reload(url, {"file": "b.idx"})
+        assert status == 200 and out["gallery_rows"] == 5
+        _, after = _post(url, {"token_ids": [[3, 4, 5]], "k": 3})
+        srv.shutdown()
+        assert set(np.asarray(before["meta"]).ravel()) <= set(range(100, 110))
+        assert set(np.asarray(after["meta"]).ravel()) <= set(range(900, 905))
+
+    def test_disabled_without_reload_dir(self, index):
+        service = RetrievalService(index, max_text_length=MAXLEN)
+        srv = make_server(service)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        host, port = srv.server_address
+        code, body = _post_expect_error(
+            f"http://{host}:{port}", {"file": "x.idx"},
+            path="/reload_index")
+        srv.shutdown()
+        assert code == 403 and "not enabled" in body["error"]
+
+    def test_path_traversal_rejected(self, index, tmp_path):
+        service = RetrievalService(index, max_text_length=MAXLEN,
+                                  reload_dir=str(tmp_path))
+        srv = make_server(service)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        host, port = srv.server_address
+        url = f"http://{host}:{port}"
+        code, body = _post_expect_error(
+            url, {"file": "../etc/passwd"}, path="/reload_index")
+        assert code == 400 and "bare file name" in body["error"]
+        code, body = _post_expect_error(
+            url, {"file": "missing.idx"}, path="/reload_index")
+        srv.shutdown()
+        assert code == 400 and "no such index" in body["error"]
+
+
+def _post_reload(url, payload):
+    req = urllib.request.Request(
+        url + "/reload_index", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, json.loads(resp.read())

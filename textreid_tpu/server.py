@@ -23,12 +23,17 @@ Design notes (TPU serving, not a general web framework):
 
 Endpoints::
 
-    GET  /healthz   liveness + index shape
-    GET  /stats     request counters + latency percentiles
-    POST /search    {"token_ids": [[7, 3, ...], ...], "lengths": [...]?,
-                     "k": 10}
-                 or {"queries": ["a man in a red jacket", ...], "k": 10}
-    ->              {"scores": [[...]], "meta": [[...]], "latency_ms": m}
+    GET  /healthz       liveness + index shape
+    GET  /stats         request counters + latency percentiles
+                        (incl. queue-wait vs device-time split)
+    POST /search        {"token_ids": [[7, 3, ...], ...],
+                         "lengths": [...]?, "k": 10}
+                     or {"queries": ["a man in a red jacket"], "k": 10}
+    ->                  {"scores": [[...]], "meta": [[...]],
+                         "latency_ms": m, "wait_ms": w, "device_ms": d}
+    POST /reload_index  {"file": "gallery.idx"} — hot-swap the gallery
+                        from a persisted index in the configured reload
+                        directory (403 unless enabled)
 
 Padded result slots (k > |gallery|) follow the index contract: score
 ``-inf`` (serialized as null) and metadata ``-1``.
@@ -37,6 +42,7 @@ Padded result slots (k > |gallery|) follow the index contract: score
 from __future__ import annotations
 
 import json
+import os
 import queue as queue_mod
 import re
 import threading
@@ -96,7 +102,7 @@ class RetrievalService:
     def __init__(self, index, max_text_length: int = 100,
                  tokenizer: Optional[SimpleTokenizer] = None,
                  default_k: int = 10, batch_window_ms: float = 0.0,
-                 k_buckets=K_BUCKETS):
+                 k_buckets=K_BUCKETS, reload_dir: str = ""):
         self.index = index
         self.max_text_length = int(max_text_length)
         self.tokenizer = tokenizer
@@ -104,6 +110,10 @@ class RetrievalService:
         self.k_buckets = tuple(sorted(int(b) for b in k_buckets))
         if not self.k_buckets or self.k_buckets[0] < 1:
             raise ValueError(f"invalid k_buckets {k_buckets}")
+        # gallery hot-reload: only file names inside this directory are
+        # loadable over HTTP; empty = endpoint disabled (an HTTP-writable
+        # arbitrary-path loader would be a traversal hazard)
+        self.reload_dir = os.path.abspath(reload_dir) if reload_dir else ""
         self._lock = threading.Lock()        # serializes device work
         self._stats_lock = threading.Lock()  # counters: += is not atomic
         self._latencies_ms = deque(maxlen=1000)
@@ -255,6 +265,32 @@ class RetrievalService:
             lens[i] = ln
         return ids, lens
 
+    def reload_index(self, payload: dict) -> dict:
+        """Swap the gallery from a persisted index file without restarting
+        the service (``POST /reload_index {"file": "gallery.idx"}``).
+
+        The file must live directly inside ``reload_dir`` (basename only —
+        no path components).  The load happens under the device lock, so
+        in-flight searches complete against the old gallery and every
+        later search sees the new one; a load failure leaves the previous
+        gallery serving."""
+        if not self.reload_dir:
+            raise PermissionError("index reload is not enabled (start the "
+                                  "service with reload_dir/--reload-dir)")
+        name = payload.get("file")
+        if not isinstance(name, str) or not name:
+            raise ValueError("payload needs a 'file' name")
+        if os.path.basename(name) != name:
+            raise ValueError("'file' must be a bare file name inside the "
+                             "reload directory")
+        path = os.path.join(self.reload_dir, name)
+        if not os.path.isfile(path):
+            raise ValueError(f"no such index file: {name}")
+        with self._lock:
+            self.index.load_index(path)
+            rows = len(self.index.gallery_meta)
+        return {"status": "reloaded", "file": name, "gallery_rows": rows}
+
     # -- introspection -----------------------------------------------------
     def health(self) -> dict:
         g = self.index.gallery
@@ -321,10 +357,10 @@ def make_server(service: RetrievalService, host: str = "127.0.0.1",
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):  # noqa: N802
-            if self.path != "/search":
+            if self.path not in ("/search", "/reload_index"):
                 self._reply(404, {"error": f"unknown path {self.path}"})
                 return
-            if service.index.gallery is None:
+            if self.path == "/search" and service.index.gallery is None:
                 service.record_error()
                 self._reply(503, {"error": "index not built"})
                 return
@@ -333,7 +369,13 @@ def make_server(service: RetrievalService, host: str = "127.0.0.1",
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 if not isinstance(payload, dict):
                     raise ValueError("payload must be a JSON object")
-                self._reply(200, service.search(payload))
+                if self.path == "/reload_index":
+                    self._reply(200, service.reload_index(payload))
+                else:
+                    self._reply(200, service.search(payload))
+            except PermissionError as e:
+                service.record_error()
+                self._reply(403, {"error": str(e)})
             except (ValueError, KeyError, TypeError) as e:
                 service.record_error()
                 self._reply(400, {"error": str(e)})

@@ -47,6 +47,9 @@ def main():
     parser.add_argument("--quantize", action="store_true",
                         help="serve int8 scoring (index must carry it or "
                         "it is re-quantized at load)")
+    parser.add_argument("--reload-dir", default="",
+                        help="enable POST /reload_index for index files "
+                        "inside this directory (disabled when empty)")
     parser.add_argument("--k-buckets", default="10,100,1000",
                         help="comma-separated canonical k values; the "
                         "largest is the service's max k (each bucket "
@@ -90,7 +93,8 @@ def main():
     service = RetrievalService(
         index, max_text_length=cfg.INPUT.MAX_TEXT_LENGTH,
         tokenizer=tokenizer, batch_window_ms=args.batch_window_ms,
-        k_buckets=[int(b) for b in args.k_buckets.split(",")])
+        k_buckets=[int(b) for b in args.k_buckets.split(",")],
+        reload_dir=args.reload_dir)
 
     # warm the jit caches before accepting traffic: first-query latency on
     # TPU is a compile (~seconds), not a search
