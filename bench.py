@@ -569,6 +569,14 @@ def bench_serving():
     assert int8_stream_match > 0.999, int8_stream_match
     assert float(np.max(np.abs(sv - iv))) < 1e-5
 
+    bv16, bi16 = map(np.asarray, jax.jit(
+        lambda q, g: topk_similarity(
+            q, g, k=K, query_tile=qt, gallery_tile=gt, interpret=interpret,
+            compute_dtype=jnp.bfloat16))(queries, gallery))
+    bf16_recall = float(np.mean([
+        len(set(bi16[r]) & set(xi[r])) / K for r in range(Q)
+    ]))
+
     idx_match = float(np.mean(pi == xi))
     score_err = float(np.max(np.abs(pv - xv)))
     # ties between distinct gallery rows at f32 are the only legitimate
@@ -598,6 +606,7 @@ def bench_serving():
         "int8_recall_at_k": int8_recall,
         "int8_score_err": int8_err,
         "int8_stream_index_match": int8_stream_match,
+        "bf16_recall_at_k": bf16_recall,
     }
     # The gallery (and int8 values/scales) ride as no_perturb ARGS: closed
     # over they would serialize into the jitted loop's HLO as constants
@@ -607,6 +616,15 @@ def bench_serving():
     iters = 20 if interpret else 100
     paths = [
         ("pallas_topk", pallas_fn, (queries, gallery), {1}, G * D * 4),
+        # opt-in bf16 scoring (f32 accumulation): the f32-exact kernel is
+        # matmul-bound, so this is the sub-ms option — index agreement vs
+        # the f32-exact path is REPORTED below, not asserted (bf16 input
+        # rounding can flip near-ties)
+        ("pallas_topk_bf16",
+         lambda q, g: topk_similarity(
+             q, g, k=K, query_tile=qt, gallery_tile=gt,
+             interpret=interpret, compute_dtype=jnp.bfloat16),
+         (queries, gallery), {1}, G * D * 4),
         ("int8_stream_topk",
          lambda q, v, s: topk_similarity_quantized(
              q, v, s, k=K, query_tile=qt, gallery_tile=gt8,
