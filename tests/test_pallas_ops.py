@@ -301,3 +301,43 @@ class TestBiGRUPooledPallas:
             got = fused.apply(variables, tokens, lengths)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5)
+
+
+class TestTopKAdversarialTies:
+    """The lex-live-set merge (round 4: no retire-write, extraction
+    tracked by the last (value, col) pair) must stay exact under heavy
+    value duplication — the regime where the tie bookkeeping, not the
+    values, decides every slot."""
+
+    def test_massive_duplication_exact_order(self):
+        from textreid_tpu.ops.ranking_pallas import topk_similarity
+
+        rng = np.random.RandomState(0)
+        # scores drawn from only 5 distinct values: nearly every
+        # extraction is a tie chain, within and across gallery tiles
+        d = 8
+        q = jnp.eye(4, d, dtype=jnp.float32)
+        levels = np.asarray([0.0, 0.25, 0.5, 0.75, 1.0], np.float32)
+        g = np.zeros((64, d), np.float32)
+        g[:, :4] = levels[rng.randint(0, 5, (64, 4))]
+        vals, idx = topk_similarity(jnp.asarray(q), jnp.asarray(g), k=8,
+                                    query_tile=4, gallery_tile=16,
+                                    interpret=True)
+        sim = np.asarray(q) @ g.T
+        for r in range(4):
+            # expected order: value desc, then index desc within ties
+            order = sorted(range(64), key=lambda c: (-sim[r, c], -c))[:8]
+            np.testing.assert_array_equal(np.asarray(idx)[r], order)
+            np.testing.assert_allclose(np.asarray(vals)[r],
+                                       sim[r, order], rtol=1e-6)
+
+    def test_all_equal_scores_pick_largest_indices(self):
+        from textreid_tpu.ops.ranking_pallas import topk_similarity
+
+        q = jnp.ones((4, 8), jnp.float32)
+        g = jnp.ones((32, 8), jnp.float32)
+        vals, idx = topk_similarity(q, g, k=5, query_tile=4,
+                                    gallery_tile=8, interpret=True)
+        for r in range(4):
+            np.testing.assert_array_equal(np.asarray(idx)[r],
+                                          [31, 30, 29, 28, 27])

@@ -42,23 +42,16 @@ Array = jax.Array
 
 
 def _embed_lookup(table: Array, token_ids: Array) -> Array:
-    """Embedding lookup; small tables route through a one-hot matmul.
+    """Embedding lookup (plain gather).
 
-    TPU gathers run at a fraction of HBM bandwidth (~80 GB/s observed for
-    the flagship's [B*T, 512] lookup, 0.35 ms/step in the round-4 trace)
-    while the equivalent one-hot contraction is MXU work — exact, since
-    each output row is a single 1.0 term.  The crossover favors the
-    matmul while B*T*V stays small; above 2048 rows (e.g. a full CLIP BPE
-    table) the gather wins and is kept."""
-    vocab = table.shape[0]
-    if vocab > 2048:
-        return jnp.take(table, token_ids, axis=0)
-    one_hot = jax.nn.one_hot(token_ids, vocab, dtype=table.dtype)
-    return jax.lax.dot_general(
-        one_hot, table,
-        (((one_hot.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=table.dtype,
-    )
+    A one-hot-matmul variant for small tables was built and measured in
+    round 4: the isolated gather is slow (~80 GB/s, 0.35 ms/step) and the
+    contraction beats it standalone, but inside the FULL train step the
+    matmul version regressed the step 96.4 -> 101.0 ms (new
+    dynamic-update-slice ops + longer scan whiles in the traced
+    breakdown) — XLA's global schedule lost more than the gather saved.
+    Keep the gather; the trace artifacts carry the evidence."""
+    return jnp.take(table, token_ids, axis=0)
 
 
 def torch_rnn_init(hidden_dim: int) -> Callable:

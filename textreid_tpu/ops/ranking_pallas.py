@@ -69,12 +69,20 @@ def _fold_tile(run_vals, run_idx, scores, tile_base, k):
     # The qualification test needs only the per-row max, so the R1
     # reduction is hoisted to a prologue and recomputed at the END of each
     # body trip: a tile with zero insertions (the common late-stream case)
-    # costs one reduction and a cheap cond — never the argmax extraction,
-    # insertion machinery, or full-width mask write.
+    # costs one reduction and a cheap cond — never the argmax extraction
+    # or insertion machinery.
     m0 = jnp.max(scores, axis=1, keepdims=True)  # [Qt, 1]
 
+    # ``scores`` is NEVER mutated: instead of retiring extracted lanes
+    # with a full-width masked write + re-max (3 reads + 1 write per
+    # trip), each trip tracks the last extracted (value, col) pair and
+    # reduces over the lex-LESS live set directly — 2 reads, 0 writes.
+    # Extraction proceeds in strict lexicographic descending (value, col)
+    # order, so "already extracted" == "lex-greater-or-equal than the
+    # last extraction".
+
     def cond(carry):
-        run_vals, _, _, m, passes = carry
+        run_vals, _, m, _, _, passes = carry
         tau = run_vals[:, k - 1:k]
         # m >= tau may admit a value tie that loses on index (pos == k
         # no-ops inside) — rare and harmless; m == NEG_INF rows are
@@ -83,11 +91,19 @@ def _fold_tile(run_vals, run_idx, scores, tile_base, k):
         return jnp.logical_and(passes < k, jnp.any(qual))
 
     def body(carry):
-        run_vals, run_idx, scores, m, passes = carry
-        # largest column among the argmax ties; globalize the [Qt, 1]
-        # winner only (the argmax set is non-empty, so -1 never wins)
-        im_col = jnp.max(jnp.where(scores >= m, col, -1), axis=1,
-                         keepdims=True)
+        run_vals, run_idx, m, m_prev, im_prev, passes = carry
+        # current winner's column: the largest col among lanes AT value m
+        # that are still live.  Only exact value ties need the col filter:
+        # when m < m_prev every s == m lane is live (extracted lanes all
+        # hold values >= m_prev > m), on a value tie (m == m_prev) the
+        # lanes at col >= im_prev are the already-extracted ones.  The
+        # test must be s == m, NOT s >= m — an older extraction at a
+        # higher value but lower col would otherwise pass the tie filter
+        # and corrupt the argmax.
+        live_tie = jnp.logical_or(m < m_prev, col < im_prev)
+        im_col = jnp.max(
+            jnp.where(jnp.logical_and(scores == m, live_tie), col, -1),
+            axis=1, keepdims=True)
         im = im_col + tile_base
         # insertion position under (val desc, idx desc)
         ranks_above = jnp.logical_or(
@@ -108,16 +124,19 @@ def _fold_tile(run_vals, run_idx, scores, tile_base, k):
                 slot == pos, im, jnp.where(slot > pos, shift_idx, run_idx))
         run_vals = jnp.where(do, new_vals, run_vals)
         run_idx = jnp.where(do, new_idx, run_idx)
-        # retire the extracted lane; rows whose max no longer qualifies
-        # are permanently done (tau never decreases), so masking their max
-        # is harmless and lets cond converge
-        scores = jnp.where(col == im_col, NEG_INF, scores)
-        m = jnp.max(scores, axis=1, keepdims=True)
-        return run_vals, run_idx, scores, m, passes + 1
+        # next candidate: max over the live set strictly lex-below the
+        # extraction we just made
+        live = jnp.logical_or(
+            scores < m, jnp.logical_and(scores == m, col < im_col))
+        m_next = jnp.max(jnp.where(live, scores, NEG_INF), axis=1,
+                         keepdims=True)
+        return run_vals, run_idx, m_next, m, im_col, passes + 1
 
-    run_vals, run_idx, _, _, _ = jax.lax.while_loop(
+    big = jnp.full((qt, 1), jnp.inf, jnp.float32)
+    big_col = jnp.full((qt, 1), gt, jnp.int32)
+    run_vals, run_idx, _, _, _, _ = jax.lax.while_loop(
         cond, body,
-        (run_vals, run_idx, scores, m0, jnp.int32(0)),
+        (run_vals, run_idx, m0, big, big_col, jnp.int32(0)),
     )
     return run_vals, run_idx
 
