@@ -734,7 +734,7 @@ def bench_server():
         f"{'XLA-interpret' if interpret else 'Pallas'}")
 
     service = RetrievalService(index, max_text_length=TOKENS,
-                               batch_window_ms=3.0)
+                               batch_window_ms="auto")
     httpd = make_server(service)
     import threading
 
@@ -772,7 +772,8 @@ def bench_server():
     svc_stats = service.stats()
     report = {
         "gallery_rows": G, "requests": N_REQ, "clients": CLIENTS,
-        "batch_window_ms": 3.0,
+        "batch_window_ms": "auto",
+        "batch_window_ms_final": round(service.batch_window_ms, 2),
         "qps": round(N_REQ / wall, 1),
         "latency_p50_ms": pct(0.50),
         "latency_p95_ms": pct(0.95),

@@ -389,3 +389,31 @@ def _post_reload(url, payload):
         headers={"Content-Type": "application/json"})
     with urllib.request.urlopen(req) as resp:
         return resp.status, json.loads(resp.read())
+
+
+class TestAutoBatchWindow:
+    """batch_window_ms='auto' sizes the coalescing window from measured
+    device time: a fixed small window under an expensive dispatch (e.g. an
+    RPC-fronted device) coalesces almost nothing while requests queue a
+    full batch anyway."""
+
+    def test_window_tracks_device_time(self, index):
+        service = RetrievalService(index, max_text_length=MAXLEN,
+                                  batch_window_ms="auto")
+        assert service._auto_window
+        lo, hi = service.AUTO_WINDOW_BOUNDS_MS
+        assert service.batch_window_ms == lo  # before any measurement
+        for _ in range(3):
+            service.search({"token_ids": [[1, 2, 3]], "k": 2})
+        assert service._device_ms_ema > 0
+        want = min(hi, max(lo, service.AUTO_WINDOW_FRACTION
+                           * service._device_ms_ema))
+        assert service.batch_window_ms == pytest.approx(want)
+        assert service.stats()["batch_window_ms"] == pytest.approx(
+            service.batch_window_ms, abs=1e-3)
+
+    def test_fixed_window_unchanged(self, index):
+        service = RetrievalService(index, max_text_length=MAXLEN,
+                                  batch_window_ms=2.5)
+        service.search({"token_ids": [[1, 2]], "k": 1})
+        assert service.batch_window_ms == 2.5

@@ -41,9 +41,10 @@ def main():
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--query-batch", type=int, default=64)
-    parser.add_argument("--batch-window-ms", type=float, default=0.0,
+    parser.add_argument("--batch-window-ms", default="0",
                         help="coalesce concurrent requests into one device "
-                        "batch within this window (0 = off)")
+                        "batch within this window (0 = off, 'auto' = size "
+                        "from the measured dispatch time)")
     parser.add_argument("--quantize", action="store_true",
                         help="serve int8 scoring (index must carry it or "
                         "it is re-quantized at load)")
@@ -90,9 +91,11 @@ def main():
 
     tokenizer = (SimpleTokenizer.from_file(args.vocab_file)
                  if args.vocab_file else None)
+    window = (args.batch_window_ms if args.batch_window_ms == "auto"
+              else float(args.batch_window_ms))
     service = RetrievalService(
         index, max_text_length=cfg.INPUT.MAX_TEXT_LENGTH,
-        tokenizer=tokenizer, batch_window_ms=args.batch_window_ms,
+        tokenizer=tokenizer, batch_window_ms=window,
         k_buckets=[int(b) for b in args.k_buckets.split(",")],
         reload_dir=args.reload_dir)
 
