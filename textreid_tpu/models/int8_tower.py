@@ -82,11 +82,6 @@ class _BlockSpec(NamedTuple):
     has_downsample: bool
 
 
-def _block_params(params, name):
-    """Params subtree of one Bottleneck (flax names it ``layer{s}_{b}``)."""
-    return params[name]
-
-
 def _trunk_specs(visual: ModifiedResNet) -> List[_BlockSpec]:
     specs = []
     stage_specs = [
@@ -202,18 +197,6 @@ def _stem_units() -> List[_UnitSpec]:
         _UnitSpec("conv2", "conv2", "bn2", (1, 1)),
         _UnitSpec("conv3", "conv3", "bn3", (1, 1)),
     ]
-
-
-def _block_units(name: str, stride: int, has_ds: bool) -> List[_UnitSpec]:
-    units = [
-        _UnitSpec(f"{name}.conv1", "conv1", "bn1", (1, 1)),
-        _UnitSpec(f"{name}.conv2", "conv2", "bn2", (1, 1)),
-        _UnitSpec(f"{name}.conv3", "conv3", "bn3", (1, 1)),
-    ]
-    if has_ds:
-        units.append(_UnitSpec(f"{name}.downsample", "downsample_conv",
-                               "downsample_bn", (1, 1)))
-    return units
 
 
 def _folded_trunk_float(visual, params, stats, x, record: Optional[dict]):
