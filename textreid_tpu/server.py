@@ -372,6 +372,13 @@ def make_server(service: RetrievalService, host: str = "127.0.0.1",
     """Build (but don't start) the HTTP server; ``server.server_address``
     carries the bound port when ``port=0``."""
 
+    class Server(ThreadingHTTPServer):
+        # socketserver's default accept backlog is 5: under concurrent
+        # clients opening fresh connections, SYN overflow surfaces as a
+        # ~1 s retransmission latency cluster (measured: p95 jumped to
+        # ~1.2 s while the in-service wait+device p95 was ~170 ms)
+        request_queue_size = 128
+
     class Handler(BaseHTTPRequestHandler):
         # quiet the default per-request stderr lines
         def log_message(self, fmt, *args):  # noqa: D102
@@ -423,4 +430,4 @@ def make_server(service: RetrievalService, host: str = "127.0.0.1",
                 service.record_error()
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
-    return ThreadingHTTPServer((host, port), Handler)
+    return Server((host, port), Handler)
