@@ -116,6 +116,27 @@ class TestCLIWorkflow:
         combined2 = out2.stdout + out2.stderr
         assert "t2i" in combined2 and "mAP" in combined2
 
+        # deployment leg: build a serving index from the checkpoint.
+        # IMS_PER_BATCH=16 over the 8-unique-image test set forces a
+        # padded tail batch — the pad duplicates must be dropped from the
+        # index (8 rows, never 16)
+        idx_path = workspace / "gallery.idx"
+        run_cli(
+            "tools/build_index.py",
+            ["--root", str(workspace), "--config-file", cfg_rel,
+             "--checkpoint-file", str(out_dir / "best"),
+             "--output", str(idx_path), "--quantize",
+             "TEST.IMS_PER_BATCH", "16"],
+            cwd=workspace,
+        )
+        import numpy as np
+
+        data = np.load(str(idx_path))
+        assert data["gallery"].shape[0] == 8
+        assert data["meta"].shape[0] == 8
+        assert (data["meta"] >= 0).all()  # no pad sentinels in the index
+        assert data["quant_values"].shape == data["gallery"].shape
+
 # (dotted-opts override merging is covered cheaply in test_config.py;
 # a second full training subprocess here would only re-test the same path)
 

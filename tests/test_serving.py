@@ -339,3 +339,31 @@ class TestQuantizedMeshServing:
         s2, m2 = pallas.search(token_ids, lengths, k=4)
         np.testing.assert_array_equal(m1, m2)
         np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
+class TestValidRowsTrim:
+    def test_padded_tail_rows_dropped(self, model_and_state):
+        """build_gallery(valid_rows=N) drops encode-side pad rows so a
+        duplicate of the last image can never displace a real top-k
+        result (tools/build_index.py pads its tail batch to the compiled
+        shape)."""
+        model, state = model_and_state
+        rng = np.random.RandomState(20)
+        imgs = rng.randint(0, 255, (7, 32, 16, 3), dtype=np.uint8)
+        # two fixed-shape batches of 5: the second is padded with
+        # duplicates of the last real image
+        b1 = imgs[:5]
+        b2 = np.concatenate([imgs[5:], imgs[6:7], imgs[6:7], imgs[6:7]])
+        padded = RetrievalIndex(model, state, use_pallas=False)
+        padded.build_gallery([b1, b2], meta=np.arange(7), valid_rows=7)
+        assert padded.gallery.shape[0] == 7
+        assert len(padded.gallery_meta) == 7
+
+        exact = RetrievalIndex(model, state, use_pallas=False)
+        exact.build_gallery([imgs[:5], imgs[5:]], meta=np.arange(7))
+        token_ids = rng.randint(1, 30, (3, 8)).astype(np.int32)
+        lengths = np.full(3, 8, np.int32)
+        s1, m1 = padded.search(token_ids, lengths, k=7)
+        s2, m2 = exact.search(token_ids, lengths, k=7)
+        np.testing.assert_array_equal(m1, m2)
+        np.testing.assert_allclose(s1, s2, atol=1e-5)

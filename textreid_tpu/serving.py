@@ -159,9 +159,15 @@ class RetrievalIndex:
         self._fused_quant = _fused_quant
 
     # -- gallery ----------------------------------------------------------
-    def build_gallery(self, batches, meta=None) -> None:
+    def build_gallery(self, batches, meta=None, valid_rows=None) -> None:
         """Encode an iterable of pixel batches ([B,H,W,3] uint8/f32) into
-        the index.  ``meta`` optionally carries per-image ids."""
+        the index.  ``meta`` optionally carries per-image ids.
+
+        ``valid_rows`` drops trailing rows after encoding: callers that
+        pad their LAST batch to a fixed compiled shape (e.g.
+        tools/build_index.py) pass the true row count so duplicate pad
+        rows never enter the index — a pad duplicate would rank like its
+        source image and displace a real result from top-k."""
         if self._int8_pending:
             batches = self._build_int8_encoder(batches)
         chunks = []
@@ -170,8 +176,10 @@ class RetrievalIndex:
             erase = jnp.zeros((pixels.shape[0], 5), jnp.int32)
             chunks.append(self._encode_images(self.state, pixels, erase))
         self.gallery = jnp.concatenate(chunks, axis=0)
+        if valid_rows is not None:
+            self.gallery = self.gallery[:valid_rows]
         self.gallery_meta = (
-            np.asarray(meta) if meta is not None
+            np.asarray(meta)[: self.gallery.shape[0]] if meta is not None
             else np.arange(self.gallery.shape[0])
         )
         if self.quantize and self.mesh is None:

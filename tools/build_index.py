@@ -91,13 +91,16 @@ def main():
                 batches.append(np.stack(cur_px))
                 metas.extend(cur_ids)
                 cur_px, cur_ids = [], []
-    if cur_px:  # pad the tail to the compiled batch shape, then trim meta
+    if cur_px:  # pad the tail to the compiled batch shape; the pad rows
+        # are dropped from the index after encoding (valid_rows) so a
+        # duplicate of the last image can never displace a real result
         pad = batch_size - len(cur_px)
         tail = np.stack(cur_px + [cur_px[-1]] * pad)
         batches.append(tail)
-        metas.extend(cur_ids + [-1] * pad)
+        metas.extend(cur_ids)
 
-    index.build_gallery(batches, meta=np.asarray(metas))
+    index.build_gallery(batches, meta=np.asarray(metas),
+                        valid_rows=len(metas))
     # drop pad rows before persisting
     keep = index.gallery_meta >= 0
     index.gallery = index.gallery[np.flatnonzero(keep)]
