@@ -367,3 +367,24 @@ class TestValidRowsTrim:
         s2, m2 = exact.search(token_ids, lengths, k=7)
         np.testing.assert_array_equal(m1, m2)
         np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+
+class TestLargeKRouting:
+    def test_large_k_routes_to_materializing_path(self, model_and_state):
+        """k beyond the streaming kernel's design point (insertion merge,
+        k <= 64) compiles the materializing sort path instead — results
+        must equal the non-pallas index exactly."""
+        model, state = model_and_state
+        pallas = RetrievalIndex(model, state, use_pallas=True)
+        plain = RetrievalIndex(model, state, use_pallas=False)
+        rng = np.random.RandomState(40)
+        batches = [rng.randint(0, 255, (10, 32, 16, 3), dtype=np.uint8)
+                   for _ in range(10)]
+        pallas.build_gallery(batches, meta=np.arange(100))
+        plain.build_gallery(batches, meta=np.arange(100))
+        token_ids = rng.randint(1, 30, (2, 8)).astype(np.int32)
+        lengths = np.full(2, 8, np.int32)
+        s1, m1 = pallas.search(token_ids, lengths, k=80)  # > PALLAS_K_MAX
+        s2, m2 = plain.search(token_ids, lengths, k=80)
+        np.testing.assert_array_equal(m1, m2)
+        np.testing.assert_allclose(s1, s2, atol=1e-6)

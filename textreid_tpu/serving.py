@@ -127,10 +127,17 @@ class RetrievalIndex:
                               method="embed_text")
             return l2_normalize(emb.astype(jnp.float32), axis=1)
 
+        # The streaming kernel's one-at-a-time insertion merge is built
+        # for small k (its trip count scales with insertions); past this
+        # bound the materializing sort path wins and the score matrix at
+        # the 256-query bucket is modest (G rows x 1 KB).  k is a static
+        # compile parameter, so the route costs nothing at runtime.
+        PALLAS_K_MAX = 64
+
         @functools.partial(jax.jit, static_argnames=("k",))
         def _fused_float(state, gallery, token_ids, lengths, k):
             q = _text_embed(state, token_ids, lengths)
-            if use_pallas:
+            if use_pallas and k <= PALLAS_K_MAX:
                 from .ops.ranking_pallas import topk_similarity_padded
 
                 return topk_similarity_padded(q, gallery, k=k,
@@ -140,19 +147,17 @@ class RetrievalIndex:
 
         @functools.partial(jax.jit, static_argnames=("k",))
         def _fused_quant(state, values, scales, token_ids, lengths, k):
-            from .ops.quant import QuantizedGallery
+            from .ops.quant import QuantizedGallery, quantized_topk
 
             q = _text_embed(state, token_ids, lengths)
             gal = QuantizedGallery(values, scales)
-            if use_pallas:
+            if use_pallas and k <= PALLAS_K_MAX:
                 from .ops.ranking_pallas import (
                     topk_similarity_quantized_padded,
                 )
 
                 return topk_similarity_quantized_padded(
                     q, gal, k=k, interpret=interpret)
-            from .ops.quant import quantized_topk
-
             return quantized_topk(q, gal, min(k, int(values.shape[0])))
 
         self._fused_float = _fused_float
