@@ -189,7 +189,15 @@ def bench_train_step():
     """Steady-state MoCo train-step timing at the flagship config (compile
     is several minutes on remote TPU relays, so this is not part of the
     default headline run).  Writes BENCH_TRAIN.json with machine-computed
-    FLOPs + MFU."""
+    FLOPs + MFU.
+
+    ``BENCH_TRAIN_BS`` overrides the batch size (must divide MOCO.K=2048);
+    non-128 runs write BENCH_TRAIN_BS{n}.json so the driver-contract
+    artifact stays the flagship bs128 config.  Motivation: a batch sweep
+    separates per-step fixed overhead (launch tail, small-param staging)
+    from roofline-bound work — if MFU rises with bs, the bs128 gap is
+    amortizable overhead; if it is flat, the step is roofline-limited at
+    every size (BENCH_TRAIN_BREAKDOWN.json argues the latter)."""
     import jax
     import jax.numpy as jnp
 
@@ -212,14 +220,16 @@ def bench_train_step():
     cfg.MODEL.MOCO.K = 2048
     cfg.INPUT.HEIGHT, cfg.INPUT.WIDTH = 384, 128
 
+    bs = int(os.environ.get("BENCH_TRAIN_BS", BATCH))
+    assert cfg.MODEL.MOCO.K % bs == 0, (cfg.MODEL.MOCO.K, bs)
     model = build_model(cfg, dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
     batch = {
-        "pixels": rng.randint(0, 255, (BATCH, 384, 128, 3), dtype=np.uint8),
-        "erase": np.zeros((BATCH, 5), np.int32),
-        "token_ids": rng.randint(1, 512, (BATCH, TOKENS)).astype(np.int32),
-        "lengths": rng.randint(10, TOKENS, (BATCH,)).astype(np.int32),
-        "pids": rng.randint(0, 11003, (BATCH,)).astype(np.int32),
+        "pixels": rng.randint(0, 255, (bs, 384, 128, 3), dtype=np.uint8),
+        "erase": np.zeros((bs, 5), np.int32),
+        "token_ids": rng.randint(1, 512, (bs, TOKENS)).astype(np.int32),
+        "lengths": rng.randint(10, TOKENS, (bs,)).astype(np.int32),
+        "pids": rng.randint(0, 11003, (bs,)).astype(np.int32),
     }
     variables = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), jnp.asarray(batch["pixels"]),
@@ -247,19 +257,22 @@ def bench_train_step():
     float(m["loss"])
     dt = time.time() - t0
     step_s = dt / n
-    log(f"train step: {step_s * 1000:.0f} ms ({BATCH / step_s:.0f} img/s)")
+    log(f"train step: {step_s * 1000:.0f} ms ({bs / step_s:.0f} img/s)")
     result = {
-        "metric": "moco_train_step_ms_bs128",
+        "metric": f"moco_train_step_ms_bs{bs}",
         "value": round(step_s * 1000, 2),
         "unit": "ms",
         "vs_baseline": None,
-        "images_per_second": round(BATCH / step_s, 1),
+        "images_per_second": round(bs / step_s, 1),
         "step_flops": step_flops,
         "mfu": mfu(step_flops, step_s),
         "peak_bf16_flops": peak_flops(),
     }
-    # machine artifact for the judge (VERDICT round-1 item 4)
-    with open(os.path.join(OUT_DIR, "BENCH_TRAIN.json"), "w") as f:
+    # machine artifact for the judge (VERDICT round-1 item 4); non-flagship
+    # batch sizes get their own file so the driver artifact stays bs128
+    name = ("BENCH_TRAIN.json" if bs == BATCH
+            else f"BENCH_TRAIN_BS{bs}.json")
+    with open(os.path.join(OUT_DIR, name), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
 

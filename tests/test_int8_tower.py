@@ -236,6 +236,27 @@ class TestServingEncoder:
         cos = (got * want).sum(axis=1)  # both normalized
         assert cos.min() > 0.999, cos
 
+    def test_prenormalized_float_input_matches_uint8(self, model_and_state):
+        """f32 input means already-normalized pixels (the encode_image
+        convention, model.py:146); the int8 encoder must not re-normalize
+        them — double normalization lands far outside the calibrated
+        activation ranges (code-review round 4)."""
+        model, state = model_and_state
+        rng = np.random.RandomState(12)
+        calib = rng.randint(0, 255, (4, 64, 32, 3), dtype=np.uint8)
+        encode, tower = build_int8_encoder(model, state, [calib])
+        pixels_u8 = jnp.asarray(
+            rng.randint(0, 255, (4, 64, 32, 3), dtype=np.uint8))
+        erase = jnp.zeros((4, 5), jnp.int32)
+
+        from textreid_tpu.models.model import preprocess_pixels
+
+        pixels_f32 = preprocess_pixels(pixels_u8, None, model.pixel_mean,
+                                       model.pixel_std, jnp.float32)
+        got_u8 = np.asarray(encode(state, tower, pixels_u8, erase))
+        got_f32 = np.asarray(encode(state, tower, pixels_f32, erase))
+        np.testing.assert_allclose(got_u8, got_f32, atol=1e-5)
+
     def test_rejects_non_mresnet(self, model_and_state):
         model, state = model_and_state
         from textreid_tpu.models.resnet import ResNet

@@ -321,6 +321,14 @@ class TestKBucketsConfig:
         with pytest.raises(ValueError, match="k_buckets"):
             RetrievalService(index, max_text_length=MAXLEN, k_buckets=())
 
+    def test_default_k_clamps_to_largest_bucket(self, index):
+        """A default_k above the service's own k contract must clamp, not
+        reject every k-omitting request (code-review round 4)."""
+        service = RetrievalService(index, max_text_length=MAXLEN,
+                                   default_k=10, k_buckets=(5,))
+        out = service.search({"token_ids": [[1, 2, 3]]})  # no "k"
+        assert len(out["meta"][0]) == 5
+
 
 class TestReloadIndex:
     """POST /reload_index hot-swaps the gallery from a persisted index

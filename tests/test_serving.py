@@ -138,6 +138,30 @@ class TestIndexPersistence:
         np.testing.assert_allclose(s1, s2, atol=1e-6)
         np.testing.assert_array_equal(m1, m2)
 
+    def test_failed_load_leaves_previous_gallery_serving(
+            self, model_and_state, tmp_path):
+        """load_index must be all-or-nothing: a truncated/incomplete file
+        (np.load is lazy per member, so corruption can surface on the
+        SECOND member read) must not leave the old gallery serving through
+        the new file's metadata (code-review round 4)."""
+        model, state = model_and_state
+        index = RetrievalIndex(model, state, use_pallas=False)
+        index.build_gallery(_gallery_batches(n=10),
+                            meta=np.arange(100, 110))
+        rng = np.random.RandomState(7)
+        token_ids = rng.randint(1, 30, (2, 8)).astype(np.int32)
+        lengths = np.full(2, 8, np.int32)
+        s1, m1 = index.search(token_ids, lengths, k=4)
+
+        bad = str(tmp_path / "bad.npz")
+        np.savez(bad, meta=np.arange(5))  # no "gallery" member
+        with pytest.raises(KeyError):
+            index.load_index(bad)
+        assert len(index.gallery_meta) == 10  # untouched
+        s2, m2 = index.search(token_ids, lengths, k=4)
+        np.testing.assert_array_equal(m1, m2)
+        np.testing.assert_allclose(s1, s2, atol=0)
+
     def test_cross_topology_roundtrip(self, model_and_state, tmp_path):
         """An index built on a mesh whose padding augmented the features
         ([G+pad, D+1]) must persist CLEAN and load onto a single-device

@@ -528,8 +528,17 @@ def build_int8_encoder(model, state, calib_batches,
 
     @jax.jit
     def encode(state, tower, pixels, erase):
-        x = preprocess_pixels(pixels, erase, model.pixel_mean,
-                              model.pixel_std, jnp.float32)
+        # Same input convention as CompositeModel.encode_image
+        # (model.py:146): uint8 means raw pixels that need on-device
+        # normalization; float means already normalized.  Normalizing
+        # unconditionally would double-normalize f32 gallery batches into
+        # values far outside the calibrated activation ranges — a silently
+        # garbage index.
+        if pixels.dtype == jnp.uint8:
+            x = preprocess_pixels(pixels, erase, model.pixel_mean,
+                                  model.pixel_std, jnp.float32)
+        else:
+            x = pixels.astype(jnp.float32)
         feat = int8_trunk_apply(visual, tower, x,
                                 epilogue_dtype=epilogue_dtype,
                                 float_blocks=float_blocks)

@@ -117,10 +117,16 @@ class RetrievalService:
         self.index = index
         self.max_text_length = int(max_text_length)
         self.tokenizer = tokenizer
-        self.default_k = int(default_k)
         self.k_buckets = tuple(sorted(int(b) for b in k_buckets))
         if not self.k_buckets or self.k_buckets[0] < 1:
             raise ValueError(f"invalid k_buckets {k_buckets}")
+        # default_k is the k applied to requests that omit it; a default
+        # outside the service's own k contract would 400 every such
+        # request (and crash tools/serve.py at warmup).  Clamp to the
+        # largest serveable bucket.
+        self.default_k = min(int(default_k), self.k_buckets[-1])
+        if self.default_k < 1:
+            raise ValueError(f"invalid default_k {default_k}")
         # gallery hot-reload: only file names inside this directory are
         # loadable over HTTP; empty = endpoint disabled (an HTTP-writable
         # arbitrary-path loader would be a traversal hazard)

@@ -75,8 +75,10 @@ class RetrievalIndex:
                               method="embed_image")
             return l2_normalize(emb.astype(jnp.float32), axis=1)
 
-        @jax.jit
-        def _encode_texts(state, token_ids, lengths):
+        # One definition of the text-tower forward; jitted standalone here
+        # and inlined un-jitted into the fused single-dispatch programs
+        # below.
+        def _text_embed(state, token_ids, lengths):
             feat = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats,
                  "constants": state.constants},
@@ -85,6 +87,8 @@ class RetrievalIndex:
             emb = model.apply({"params": state.params}, feat,
                               method="embed_text")
             return l2_normalize(emb.astype(jnp.float32), axis=1)
+
+        _encode_texts = jax.jit(_text_embed)
 
         # int8 encode modes: "dataflow" (default for True; m_resnet towers)
         # runs the true int8-dataflow graph (models/int8_tower.py, int8
@@ -116,16 +120,6 @@ class RetrievalIndex:
         # traffic compiles at most once per (bucket, k) pair.
         interpret = self._interpret
         use_pallas = self.use_pallas
-
-        def _text_embed(state, token_ids, lengths):
-            feat = model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats,
-                 "constants": state.constants},
-                token_ids, lengths, method="encode_text",
-            )
-            emb = model.apply({"params": state.params}, feat,
-                              method="embed_text")
-            return l2_normalize(emb.astype(jnp.float32), axis=1)
 
         # The streaming kernel's one-at-a-time insertion merge is built
         # for small k (its trip count scales with insertions); past this
@@ -286,32 +280,44 @@ class RetrievalIndex:
         """Load an index written by :meth:`save_index` onto this instance's
         topology (single-device or mesh — independent of where it was
         built)."""
+        # Read and decompress EVERY member into locals before touching
+        # self: np.load is lazy per-member, so a truncated/mid-copy file
+        # can fail on the second read — mutating state member-by-member
+        # would leave the old gallery serving through the new file's
+        # metadata (silently wrong IDs).  All-or-nothing keeps the
+        # hot-reload contract: a load failure leaves the previous gallery.
         data = np.load(path)
-        self.gallery_meta = data["meta"]
+        meta = data["meta"]
         gallery = data["gallery"]
         if "augmented" in data and bool(data["augmented"]):
             # legacy (round-3 pre-refactor) format persisted the mesh
             # topology artifact: [G+pad, D+1] with pad rows and an
             # augmented score column — strip back to the clean matrix
-            gallery = gallery[: len(self.gallery_meta), :-1]
-        self.gallery = jnp.asarray(gallery)
+            gallery = gallery[: len(meta), :-1]
         stored_quant_usable = (
             "quant_values" in data
             # legacy-augmented files quantized the padded [G+pad, D+1]
             # matrix; re-derive from the clean gallery instead
-            and data["quant_values"].shape == self.gallery.shape
+            and data["quant_values"].shape == gallery.shape
         )
+        quant = None
         if self.quantize and self.mesh is None and stored_quant_usable:
             from .ops.quant import QuantizedGallery
 
-            self._quant_gallery = QuantizedGallery(
+            quant = QuantizedGallery(
                 values=jnp.asarray(data["quant_values"]),
                 scales=jnp.asarray(data["quant_scales"]),
             )
-        elif self.quantize and self.mesh is None:
-            from .ops.quant import quantize_rows
+        gallery = jnp.asarray(gallery)
 
-            self._quant_gallery = quantize_rows(self.gallery)
+        self.gallery_meta = meta
+        self.gallery = gallery
+        if self.quantize and self.mesh is None:
+            if quant is None:
+                from .ops.quant import quantize_rows
+
+                quant = quantize_rows(gallery)
+            self._quant_gallery = quant
         self._finalize_mesh_gallery()  # mesh path re-quantizes in here
 
     # -- queries ----------------------------------------------------------

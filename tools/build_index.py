@@ -99,16 +99,10 @@ def main():
         batches.append(tail)
         metas.extend(cur_ids)
 
+    # valid_rows drops the pad rows (and quantizes, when enabled) inside
+    # build_gallery, so the index is persist-ready as built
     index.build_gallery(batches, meta=np.asarray(metas),
                         valid_rows=len(metas))
-    # drop pad rows before persisting
-    keep = index.gallery_meta >= 0
-    index.gallery = index.gallery[np.flatnonzero(keep)]
-    index.gallery_meta = index.gallery_meta[keep]
-    if args.quantize:
-        from textreid_tpu.ops.quant import quantize_rows
-
-        index._quant_gallery = quantize_rows(index.gallery)
     index.save_index(args.output)
     logger.info("Wrote %s: %d rows x %d dims%s", args.output,
                 index.gallery.shape[0], index.gallery.shape[1],

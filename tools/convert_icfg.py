@@ -154,6 +154,7 @@ def convert(release_path: str, out_root: str, min_count: int = 1,
 
     train_pid_map = {}
     written = {}
+    dropped = {}
     for split, records in sorted(by_split.items()):
         annotations = []
         image_ids = {}
@@ -165,6 +166,13 @@ def convert(release_path: str, out_root: str, min_count: int = 1,
             image_id = image_ids.setdefault(fp, len(image_ids))
             token_lists = _record_tokens(rec)
             sentences = _record_sentences(rec, len(token_lists))
+            if not token_lists:
+                # The CUHK schema has no caption-less records, and the
+                # evaluator derives its gallery from annotation image_ids
+                # — silently skipping these would shrink the gallery and
+                # inflate retrieval metrics.  Count and warn loudly.
+                dropped[split] = dropped.get(split, 0) + 1
+                continue
             for cap, sentence in zip(token_lists, sentences):
                 onehot = [vocab.get(w, 0) for w in cap]
                 if max_length:
@@ -185,6 +193,12 @@ def convert(release_path: str, out_root: str, min_count: int = 1,
         json.dump(vocab, f)
     written["num_train_ids"] = len(train_pid_map)
     written["vocab_size"] = len(vocab) + 1  # + pad/<unk> id 0
+    if dropped:
+        written["dropped_captionless"] = dropped
+        print(
+            f"WARNING: dropped caption-less records (cannot be represented "
+            f"in the CUHK schema; their images will be MISSING from the "
+            f"converted gallery): {dropped}", file=sys.stderr)
     return written
 
 

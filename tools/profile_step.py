@@ -143,8 +143,9 @@ def summarize(trace_dir: str, steps: int, json_out: str = ""):
         worst.append((eff, dur, cat, name))
     print(f"\nroofline (XLA cost model; fusion bytes over-counted, so "
           f"efficiencies are conservative):")
+    agg_eff = total_sol / total_dur if total_dur else 0.0
     print(f"  speed-of-light estimate {total_sol / steps * 1e3:.1f} ms/step "
-          f"(aggregate efficiency {total_sol / total_dur:.2f})")
+          f"(aggregate efficiency {agg_eff:.2f})")
     for _, label in edges:
         frac = buckets[label] / total_dur if total_dur else 0.0
         print(f"  {label:9s} {buckets[label] / steps * 1e3:7.1f} ms/step "
@@ -163,12 +164,13 @@ def summarize(trace_dir: str, steps: int, json_out: str = ""):
         payload = {
             "ms_per_step": total / steps,
             "sol_ms_per_step": total_sol / steps * 1e3,
-            "aggregate_efficiency": total_sol / total_dur,
+            "aggregate_efficiency": agg_eff,
             "by_category_ms": {c: ms / steps for c, ms in by_cat.items()},
             "roofline_buckets_ms": {label: buckets[label] / steps * 1e3
                                     for _, label in edges},
-            "roofline_buckets_frac": {label: buckets[label] / total_dur
-                                      for _, label in edges},
+            "roofline_buckets_frac": {
+                label: (buckets[label] / total_dur if total_dur else 0.0)
+                for _, label in edges},
             "steps": steps,
             "notes": [
                 "bytes_accessed counts every interior operand use of a "
