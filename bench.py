@@ -964,7 +964,7 @@ def run_headline():
         f"({n_img_batches * eb / total:.0f} img/s equivalent)")
     log(f"with unoverlapped H2D through the dev relay: {total + h2d_s:.3f}s")
 
-    print(json.dumps({
+    result = {
         "metric": "cuhkpedes_testset_encode_seconds",
         "value": round(total, 4),
         "unit": "s",
@@ -974,7 +974,56 @@ def run_headline():
         # relay-health indicators for triage (VERDICT r2 weak #1)
         "init_s": round(init_s, 2),
         "h2d_s": round(h2d_s, 2),
-    }))
+    }
+
+    # Opt-in int8 leg (BENCH_HEADLINE_INT8=1): the same full-retrieval
+    # program with the gallery encode routed through the int8-dataflow
+    # tower (models/int8_tower.py), calibrated on the first gallery
+    # chunks.  Env-gated so the driver's default headline artifact never
+    # carries the extra compile/abort risk; a run with it on also writes
+    # BENCH_HEADLINE_INT8.json.
+    if os.environ.get("BENCH_HEADLINE_INT8"):
+        from textreid_tpu.engine.state import TrainState
+        from textreid_tpu.models.int8_tower import build_int8_encoder
+
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            constants=variables.get("constants", {}), opt_state=None,
+        )
+        encode, tower = build_int8_encoder(model, state,
+                                           gallery_chunks[:2])
+
+        @jax.jit
+        def full_retrieval_int8(state, tower, variables, pixel_chunks,
+                                token_chunks, len_chunks):
+            def body(_, chunk):
+                erase = jnp.zeros((chunk.shape[0], 5), jnp.int32)
+                return None, encode(state, tower, chunk, erase)
+
+            _, g = jax.lax.scan(body, None, pixel_chunks)
+            g = g.reshape(-1, g.shape[-1])
+            return similarity_rowmax(
+                g, encode_queries(variables, token_chunks, len_chunks))
+
+        t0 = time.time()
+        row8 = np.asarray(full_retrieval_int8(
+            state, tower, variables, gal_dev, tok_dev, len_dev))
+        log(f"int8 compile+warmup: {time.time() - t0:.1f}s")
+        t0 = time.time()
+        row8 = np.asarray(full_retrieval_int8(
+            state, tower, variables, gal_dev, tok_dev, len_dev))
+        total8 = time.time() - t0
+        assert np.isfinite(row8).all()
+        result["int8_encode_s"] = round(total8, 4)
+        result["int8_speedup"] = round(total / total8, 3)
+        log(f"int8 device encode+similarity: {total8:.3f}s "
+            f"({result['int8_speedup']}x vs bf16 same-run)")
+        with open(os.path.join(OUT_DIR, "BENCH_HEADLINE_INT8.json"),
+                  "w") as f:
+            json.dump(result, f, indent=1)
+
+    print(json.dumps(result))
 
 
 # ---------------------------------------------------------------------------
