@@ -441,6 +441,18 @@ def bench_stages():
         stage("text_fwd_xla", lambda g, i, l: gru_xla.apply(g, i, l),
               (gvars, ids, lens))
 
+    # CLIP text transformer (full-CLIP textual tower, B/16 text half at
+    # flagship token shapes; models/text_transformer.py)
+    from textreid_tpu.models.text_transformer import TextTransformer
+
+    txf = TextTransformer(vocab_size=49408, context_length=TOKENS, width=512,
+                          layers=12, heads=8, output_dim=512,
+                          dtype=jnp.bfloat16)
+    tvars = jax.jit(lambda: txf.init(jax.random.PRNGKey(0), ids, lens))()
+    jax.block_until_ready(tvars)
+    stage("text_transformer_fwd", lambda v, i, l: txf.apply(v, i, l),
+          (tvars, ids, lens), iters=50)
+
     # loss block at flagship shapes
     v = jnp.asarray(rng.rand(BATCH, 256).astype(np.float32))
     t = jnp.asarray(rng.rand(BATCH, 256).astype(np.float32))

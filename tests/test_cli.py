@@ -218,6 +218,99 @@ class TestViTWarmStartCLI:
         assert (workspace / "output" / "tiny" / "vit" / "best").is_dir()
 
 
+class TestFullCLIPWarmStartCLI:
+    def test_both_towers_warm_start_from_one_archive(self, workspace):
+        """The full-CLIP configuration: ViT visual tower AND transformer
+        textual tower warm-started from ONE fake CLIP archive (visual.*
+        subtree + top-level text keys, the published jit layout), trained
+        end-to-end through train_net.py.  The text positional table is
+        stored at 8 rows and must be linearly resized to the 12-row
+        CONTEXT_LENGTH (utils/weight_convert.py:convert_clip_text)."""
+        import numpy as np
+        import torch
+
+        width, layers, patch = 32, 2, 8
+        rng = np.random.RandomState(11)
+        sd = {
+            "visual.class_embedding": rng.randn(width).astype(np.float32) * 0.05,
+            "visual.positional_embedding": rng.randn(9, width).astype(
+                np.float32) * 0.05,
+            "visual.conv1.weight": rng.randn(width, 3, patch, patch).astype(
+                np.float32) * 0.05,
+            "visual.ln_pre.weight": np.ones(width, np.float32),
+            "visual.ln_pre.bias": np.zeros(width, np.float32),
+            "visual.ln_post.weight": np.ones(width, np.float32),
+            "visual.ln_post.bias": np.zeros(width, np.float32),
+            "visual.proj": rng.randn(width, 16).astype(np.float32) * 0.05,
+            # text half (top-level keys, 8-row pos table -> resized to 12)
+            "token_embedding.weight": rng.randn(100, width).astype(
+                np.float32) * 0.02,
+            "positional_embedding": rng.randn(8, width).astype(
+                np.float32) * 0.01,
+            "ln_final.weight": np.ones(width, np.float32),
+            "ln_final.bias": np.zeros(width, np.float32),
+            "text_projection": rng.randn(width, 16).astype(np.float32) * 0.05,
+        }
+        for tower in ("visual.", ""):
+            for i in range(layers):
+                p = f"{tower}transformer.resblocks.{i}"
+                sd.update({
+                    f"{p}.ln_1.weight": np.ones(width, np.float32),
+                    f"{p}.ln_1.bias": np.zeros(width, np.float32),
+                    f"{p}.attn.in_proj_weight": rng.randn(
+                        3 * width, width).astype(np.float32) * 0.05,
+                    f"{p}.attn.in_proj_bias": np.zeros(3 * width, np.float32),
+                    f"{p}.attn.out_proj.weight": rng.randn(
+                        width, width).astype(np.float32) * 0.05,
+                    f"{p}.attn.out_proj.bias": np.zeros(width, np.float32),
+                    f"{p}.ln_2.weight": np.ones(width, np.float32),
+                    f"{p}.ln_2.bias": np.zeros(width, np.float32),
+                    f"{p}.mlp.c_fc.weight": rng.randn(
+                        4 * width, width).astype(np.float32) * 0.05,
+                    f"{p}.mlp.c_fc.bias": np.zeros(4 * width, np.float32),
+                    f"{p}.mlp.c_proj.weight": rng.randn(
+                        width, 4 * width).astype(np.float32) * 0.05,
+                    f"{p}.mlp.c_proj.bias": np.zeros(width, np.float32),
+                })
+        clip_dir = workspace / "pretrained" / "clip"
+        clip_dir.mkdir(parents=True, exist_ok=True)
+        torch.save({k: torch.from_numpy(v) for k, v in sd.items()},
+                   str(clip_dir / "ViT-B-16.pt"))
+
+        cfg_dir = workspace / "configs" / "tiny"
+        (cfg_dir / "fullclip.yaml").write_text(
+            (cfg_dir / "smoke.yaml").read_text().replace(
+                'VISUAL_MODEL: "resnet18"',
+                'VISUAL_MODEL: "clip_vit_tiny"\n'
+                '  VIT:\n'
+                '    PATCH_SIZE: 8\n'
+                '    WIDTH: 32\n'
+                '    LAYERS: 2\n'
+                '    HEADS: 4\n'
+                '    OUTPUT_DIM: 16\n'
+                '  TRANSFORMER:\n'
+                '    WIDTH: 32\n'
+                '    LAYERS: 2\n'
+                '    HEADS: 4\n'
+                '    OUTPUT_DIM: 16\n'
+                '    VOCAB_SIZE: 100\n'
+                '    CONTEXT_LENGTH: 12',
+            ).replace('TEXTUAL_MODEL: "bigru"',
+                      'TEXTUAL_MODEL: "transformer"')
+        )
+        out = run_cli(
+            "train_net.py",
+            ["--root", str(workspace), "--config-file",
+             "configs/tiny/fullclip.yaml"],
+            cwd=workspace,
+        )
+        combined = out.stdout + out.stderr
+        assert "Loading CLIP ViT weights" in combined
+        assert "Loading CLIP text weights" in combined
+        assert "epoch [1]" in combined
+        assert (workspace / "output" / "tiny" / "fullclip" / "best").is_dir()
+
+
 @pytest.mark.slow
 class TestMultiLayerFreezeCLI:
     def test_gru2l_freeze_trains_end_to_end(self, workspace):

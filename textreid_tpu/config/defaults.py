@@ -81,6 +81,19 @@ _C.MODEL.VIT.LAYERS = 12
 _C.MODEL.VIT.HEADS = 12
 _C.MODEL.VIT.OUTPUT_DIM = 512
 
+# CLIP text-transformer textual tower (MODEL.TEXTUAL_MODEL: "transformer"
+# — full-CLIP extension; the reference only ships the bi-GRU branch).
+_C.MODEL.TRANSFORMER = CN()
+# Named preset ("clip_text_b16", ...; models/text_transformer.py) or empty
+# to use the explicit fields below.
+_C.MODEL.TRANSFORMER.ARCH = ""
+_C.MODEL.TRANSFORMER.WIDTH = 512
+_C.MODEL.TRANSFORMER.LAYERS = 12
+_C.MODEL.TRANSFORMER.HEADS = 8
+_C.MODEL.TRANSFORMER.OUTPUT_DIM = 512
+_C.MODEL.TRANSFORMER.VOCAB_SIZE = 49408  # CLIP BPE
+_C.MODEL.TRANSFORMER.CONTEXT_LENGTH = 77
+
 _C.MODEL.EMBEDDING = CN()
 _C.MODEL.EMBEDDING.EMBED_HEAD = "simple"
 _C.MODEL.EMBEDDING.FEATURE_SIZE = 512

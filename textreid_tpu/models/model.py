@@ -110,7 +110,7 @@ class TextReIDModel(nn.Module):
     """
 
     visual: nn.Module
-    textual: BiGRUEncoder
+    textual: nn.Module  # BiGRUEncoder or TextTransformer
     feature_size: int
     num_classes: int
     embed_head: str = "simple"  # "simple" | "moco"
@@ -209,10 +209,16 @@ def build_visual_model(cfg, dtype=jnp.float32):
     raise NotImplementedError(name)
 
 
-def build_textual_model(cfg, frozen_table_init=None, use_pallas=False):
-    """Mirrors reference backbones/build.py:14-17."""
+def build_textual_model(cfg, frozen_table_init=None, use_pallas=False,
+                        dtype=jnp.float32):
+    """Mirrors reference backbones/build.py:14-17, extended with the CLIP
+    text transformer (full-CLIP model family, models/text_transformer.py)."""
     if cfg.MODEL.TEXTUAL_MODEL == "bigru":
         return build_bigru(cfg, frozen_table_init, use_pallas)
+    if cfg.MODEL.TEXTUAL_MODEL in ("transformer", "clip_transformer"):
+        from .text_transformer import build_text_transformer
+
+        return build_text_transformer(cfg, dtype)
     raise NotImplementedError(cfg.MODEL.TEXTUAL_MODEL)
 
 
@@ -224,7 +230,7 @@ def build_model(cfg, frozen_table_init=None, dtype=jnp.float32,
     scan kernel (TPU only; differentiable via its custom VJP)."""
     return TextReIDModel(
         visual=build_visual_model(cfg, dtype),
-        textual=build_textual_model(cfg, frozen_table_init, use_pallas),
+        textual=build_textual_model(cfg, frozen_table_init, use_pallas, dtype),
         feature_size=cfg.MODEL.EMBEDDING.FEATURE_SIZE,
         num_classes=cfg.MODEL.NUM_CLASSES,
         embed_head=cfg.MODEL.EMBEDDING.EMBED_HEAD,

@@ -29,6 +29,10 @@ class TransformerBlock(nn.Module):
     width: int
     heads: int
     dtype: jnp.dtype = jnp.float32
+    # Causal (autoregressive) attention mask — used by the CLIP text
+    # encoder (models/text_transformer.py); the visual towers attend
+    # bidirectionally.
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -42,7 +46,8 @@ class TransformerBlock(nn.Module):
             return t.reshape(batch, tokens, self.heads, head_dim)
 
         attn = jax.nn.dot_product_attention(
-            heads_split(q), heads_split(k), heads_split(v)
+            heads_split(q), heads_split(k), heads_split(v),
+            is_causal=self.causal,
         ).reshape(batch, tokens, width)
         x = x + nn.Dense(width, dtype=self.dtype, name="out_proj")(attn)
 

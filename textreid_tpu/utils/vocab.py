@@ -36,6 +36,11 @@ def frozen_table_initializer(cfg):
     otherwise train to garbage).  ``cfg.TPU.ALLOW_RANDOM_VOCAB`` is the
     explicit opt-out for tests/synthetic runs.
     """
+    if cfg.MODEL.TEXTUAL_MODEL != "bigru":
+        # The frozen CLIP token table is a GRU-branch concept
+        # (gru.py:24-34); the transformer tower owns its token embedding
+        # (warm-started from the CLIP archive, models/text_transformer.py).
+        return None
     mode = cfg.MODEL.GRU.ONEHOT
     if mode == "yes":
         return None

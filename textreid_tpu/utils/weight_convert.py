@@ -323,10 +323,14 @@ def convert_clip_vit(sd: StateDict, layers: int,
                      final_grid: Optional[Tuple[int, int]] = None) -> dict:
     """CLIP VisionTransformer state dict (``visual.`` prefix tolerated) ->
     our ``models.vit.VisionTransformer`` variables."""
-    sd = {
-        (k[len("visual."):] if k.startswith("visual.") else k): np.asarray(v)
-        for k, v in sd.items()
-    }
+    if any(k.startswith("visual.") for k in sd):
+        # Full CLIP archive: keep only the visual subtree — the text tower
+        # also has top-level ``transformer.resblocks.*`` keys that would
+        # otherwise collide with the stripped visual ones.
+        sd = {k[len("visual."):]: np.asarray(v)
+              for k, v in sd.items() if k.startswith("visual.")}
+    else:
+        sd = {k: np.asarray(v) for k, v in sd.items()}
 
     def ln(prefix):
         return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
@@ -344,18 +348,60 @@ def convert_clip_vit(sd: StateDict, layers: int,
         "proj": sd["proj"],
     }
     for i in range(layers):
-        src = f"transformer.resblocks.{i}"
-        params[f"block_{i}"] = {
-            "ln_1": ln(f"{src}.ln_1"),
-            "qkv": {
-                "kernel": linear_kernel(sd[f"{src}.attn.in_proj_weight"]),
-                "bias": sd[f"{src}.attn.in_proj_bias"],
-            },
-            "out_proj": _dense(sd, f"{src}.attn.out_proj"),
-            "ln_2": ln(f"{src}.ln_2"),
-            "c_fc": _dense(sd, f"{src}.mlp.c_fc"),
-            "c_proj": _dense(sd, f"{src}.mlp.c_proj"),
-        }
+        params[f"block_{i}"] = _clip_block(sd, f"transformer.resblocks.{i}")
+    return {"params": params}
+
+
+def _clip_block(sd: StateDict, src: str) -> dict:
+    """One CLIP residual attention block -> our ``TransformerBlock`` params
+    (shared by the ViT visual tower and the text transformer)."""
+
+    def ln(prefix):
+        return {"scale": np.asarray(sd[f"{prefix}.weight"]),
+                "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+    return {
+        "ln_1": ln(f"{src}.ln_1"),
+        "qkv": {
+            "kernel": linear_kernel(np.asarray(sd[f"{src}.attn.in_proj_weight"])),
+            "bias": np.asarray(sd[f"{src}.attn.in_proj_bias"]),
+        },
+        "out_proj": _dense(sd, f"{src}.attn.out_proj"),
+        "ln_2": ln(f"{src}.ln_2"),
+        "c_fc": _dense(sd, f"{src}.mlp.c_fc"),
+        "c_proj": _dense(sd, f"{src}.mlp.c_proj"),
+    }
+
+
+def convert_clip_text(sd: StateDict, layers: int,
+                      context_length: Optional[int] = None) -> dict:
+    """The text half of a CLIP state dict -> our
+    ``models.text_transformer.TextTransformer`` variables.
+
+    CLIP jit archives hold the text tower at the top level
+    (``token_embedding.weight``, ``positional_embedding``,
+    ``transformer.resblocks.*``, ``ln_final``, ``text_projection``) next to
+    the ``visual.*`` subtree; pass the full dict — visual keys are ignored.
+    When ``context_length`` differs from the checkpoint's (77), the
+    positional table is linearly resampled along the sequence axis (the
+    same half-pixel no-antialias interpolation as the 2-D visual resize).
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()
+          if not k.startswith("visual.")}
+
+    pos = sd["positional_embedding"]
+    if context_length is not None and len(pos) != context_length:
+        pos = _bilinear_axis(pos, context_length, axis=0)
+
+    params: dict = {
+        "token_embedding": sd["token_embedding.weight"],
+        "positional_embedding": pos,
+        "ln_final": {"scale": sd["ln_final.weight"],
+                     "bias": sd["ln_final.bias"]},
+        "text_projection": sd["text_projection"],
+    }
+    for i in range(layers):
+        params[f"block_{i}"] = _clip_block(sd, f"transformer.resblocks.{i}")
     return {"params": params}
 
 

@@ -107,6 +107,7 @@ def train(cfg, output_dir, resume_from, use_tensorboard):
     # Pretrained visual weights: CLIP jit archives, mirroring reference
     # m_resnet.py:294-307 path conventions (+ the ViT extension).
     visual = None
+    clip_archive = None  # the archive also holds the text tower
     if cfg.MODEL.VISUAL_MODEL.startswith("m_resnet"):
         arch = "RN101" if cfg.MODEL.VISUAL_MODEL.endswith("101") else "RN50"
         clip_path = os.path.join(cfg.ROOT, "pretrained", "clip", f"{arch}.pt")
@@ -115,6 +116,7 @@ def train(cfg, output_dir, resume_from, use_tensorboard):
             visual = load_clip_visual(
                 clip_path, arch, model.visual.final_grid
             )
+            clip_archive = clip_path
     elif cfg.MODEL.VISUAL_MODEL.startswith("clip_vit"):
         names = {"clip_vit_b32": "ViT-B-32", "clip_vit_b16": "ViT-B-16",
                  "clip_vit_l14": "ViT-L-14"}
@@ -130,10 +132,10 @@ def train(cfg, output_dir, resume_from, use_tensorboard):
 
             logger.info("Loading CLIP ViT weights from %s", clip_path)
             sd = _load_sd(clip_path)
-            sd = {k: v for k, v in sd.items() if k.startswith("visual.")}
             visual = convert_clip_vit(sd, model.visual.layers,
                                       final_grid=model.visual.grid)
             visual.setdefault("batch_stats", {})
+            clip_archive = clip_path
     if visual is not None:
         merged = merge_pretrained(
             {"params": state.params, "batch_stats": state.batch_stats},
@@ -154,6 +156,39 @@ def train(cfg, output_dir, resume_from, use_tensorboard):
                 key_params=kmerged["params"],
                 key_batch_stats=kmerged["batch_stats"],
             )
+
+    # Pretrained textual weights: the text half of the same CLIP archive
+    # (full-CLIP extension; the reference's GRU branch has no counterpart).
+    if cfg.MODEL.TEXTUAL_MODEL in ("transformer", "clip_transformer"):
+        if clip_archive is None:
+            # Visual tower is a non-CLIP family (or its archive is absent);
+            # any CLIP archive provides the text tower.
+            clip_dir = os.path.join(cfg.ROOT, "pretrained", "clip")
+            for name in ("ViT-B-16.pt", "ViT-B-32.pt", "RN50.pt", "RN101.pt",
+                         "ViT-L-14.pt"):
+                cand = os.path.join(clip_dir, name)
+                if os.path.isfile(cand):
+                    clip_archive = cand
+                    break
+        if clip_archive is not None:
+            from textreid_tpu.utils.weight_convert import convert_clip_text
+
+            logger.info("Loading CLIP text weights from %s", clip_archive)
+            textual = convert_clip_text(
+                load_torch_state_dict(clip_archive), model.textual.layers,
+                context_length=model.textual.context_length,
+            )
+            tmerged = merge_pretrained(
+                {"params": state.params},
+                {"params": {"textual": textual["params"]}},
+            )
+            state = state.replace(params=tmerged["params"])
+            if state.key_params is not None:
+                kmerged = merge_pretrained(
+                    {"params": state.key_params},
+                    {"params": {"textual": textual["params"]}},
+                )
+                state = state.replace(key_params=kmerged["params"])
 
     arguments = {"iteration": 0, "epoch": 0,
                  "max_epoch": cfg.SOLVER.NUM_EPOCHS}
