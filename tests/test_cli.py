@@ -137,6 +137,33 @@ class TestCLIWorkflow:
         assert (data["meta"] >= 0).all()  # no pad sentinels in the index
         assert data["quant_values"].shape == data["gallery"].shape
 
+        # export leg: trained orbax checkpoint -> reference-layout .pth,
+        # then re-import it and check a round-tripped leaf
+        # (tools/export_torch.py; the fast-tier unit round trips live in
+        # tests/test_export_torch.py)
+        pth_path = workspace / "exported.pth"
+        run_cli(
+            "tools/export_torch.py",
+            ["--root", str(workspace), "--config-file", cfg_rel,
+             "--checkpoint-file", str(out_dir / "best"),
+             "--output", str(pth_path)],
+            cwd=workspace,
+        )
+        from textreid_tpu.config import get_default_cfg
+        from textreid_tpu.utils.weight_convert import (
+            convert_textreid_checkpoint,
+            load_torch_state_dict,
+        )
+
+        cfg = get_default_cfg()
+        cfg.merge_from_file(str(workspace / cfg_rel))
+        sd = load_torch_state_dict(str(pth_path))
+        assert "embed_model.v_queue" in sd and sd[
+            "embed_model.v_queue"].shape == (16, 16)  # [D, K]
+        reimported = convert_textreid_checkpoint(sd, cfg)
+        assert reimported["params"]["textual"][
+            "token_embedding"].shape == (100, 16)
+
 # (dotted-opts override merging is covered cheaply in test_config.py;
 # a second full training subprocess here would only re-test the same path)
 

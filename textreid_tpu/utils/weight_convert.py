@@ -1,7 +1,9 @@
-"""PyTorch -> JAX weight conversion.
+"""PyTorch <-> JAX weight conversion.
 
 One-time importers for the three external checkpoint families the reference
-consumes (SURVEY.md section 5.4):
+consumes (SURVEY.md section 5.4), plus the inverse exporter
+(:func:`export_textreid_checkpoint` / `tools/export_torch.py`) so models
+trained here can be evaluated by the upstream torch code:
 
 * OpenAI CLIP jit archives ``RN50.pt`` / ``RN101.pt`` — ``visual.`` prefix
   strip + bilinear position-embedding resize for non-224 inputs
@@ -237,17 +239,21 @@ def convert_textreid_checkpoint(sd: StateDict, cfg) -> dict:
         "m_resnet50": (3, 4, 6, 3),
         "m_resnet": (3, 4, 6, 3),
         "m_resnet101": (3, 4, 23, 3),
+        "resnet18": (2, 2, 2, 2),
+        "resnet34": (3, 4, 6, 3),
         "resnet50": (3, 4, 6, 3),
         "resnet101": (3, 4, 23, 3),
+        "resnet152": (3, 8, 36, 3),
     }[cfg.MODEL.VISUAL_MODEL]
     is_clip = cfg.MODEL.VISUAL_MODEL.startswith("m_")
+    bottleneck = cfg.MODEL.VISUAL_MODEL not in ("resnet18", "resnet34")
     down = 16 if cfg.MODEL.RESNET.RES5_STRIDE == 1 else 32
     final_grid = (cfg.INPUT.HEIGHT // down, cfg.INPUT.WIDTH // down)
 
     def conv_visual(sub):
         if is_clip:
             return convert_m_resnet(sub, vis_layers, final_grid)
-        return convert_resnet(sub, vis_layers)
+        return convert_resnet(sub, vis_layers, bottleneck=bottleneck)
 
     def conv_textual(sub):
         return convert_gru(sub, num_layers=cfg.MODEL.GRU.NUM_LAYER)
@@ -303,6 +309,170 @@ def convert_textreid_checkpoint(sd: StateDict, cfg) -> dict:
     out["params"] = params
     out["batch_stats"] = batch_stats
     return out
+
+
+# ---------------------------------------------------------------------------
+# export: our TrainState pieces -> reference-layout torch state dict
+# ---------------------------------------------------------------------------
+
+def _inv_conv_kernel(k: Array) -> Array:
+    """flax [kh, kw, in, out] -> torch [out, in, kh, kw]."""
+    return np.transpose(np.asarray(k), (3, 2, 0, 1))
+
+
+def _inv_linear_kernel(k: Array) -> Array:
+    """flax [in, out] -> torch [out, in]."""
+    return np.transpose(np.asarray(k), (1, 0))
+
+
+def _export_bn(out: dict, prefix: str, p: dict, s: dict) -> None:
+    out[f"{prefix}.weight"] = np.asarray(p["scale"])
+    out[f"{prefix}.bias"] = np.asarray(p["bias"])
+    out[f"{prefix}.running_mean"] = np.asarray(s["mean"])
+    out[f"{prefix}.running_var"] = np.asarray(s["var"])
+    out[f"{prefix}.num_batches_tracked"] = np.zeros((), np.int64)
+
+
+def _export_dense(out: dict, prefix: str, p: dict) -> None:
+    out[f"{prefix}.weight"] = _inv_linear_kernel(p["kernel"])
+    if "bias" in p:
+        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def _export_visual(out: dict, prefix: str, params: dict, stats: dict,
+                   is_clip: bool) -> None:
+    """Inverse of convert_m_resnet / convert_resnet (pos-embed kept at the
+    current grid — the importer's resize is for grid *changes* only)."""
+    stem = (1, 2, 3) if is_clip else (1,)
+    for i in stem:
+        out[f"{prefix}conv{i}.weight"] = _inv_conv_kernel(
+            params[f"conv{i}"]["kernel"])
+        _export_bn(out, f"{prefix}bn{i}", params[f"bn{i}"], stats[f"bn{i}"])
+    for dst in sorted(k for k in params if k.startswith("layer")):
+        stage, b = dst[len("layer"):].split("_")
+        src = f"{prefix}layer{stage}.{b}"
+        bp, bs = params[dst], stats[dst]
+        for i in (1, 2, 3):
+            if f"conv{i}" not in bp:
+                continue  # basic blocks have two convs
+            out[f"{src}.conv{i}.weight"] = _inv_conv_kernel(
+                bp[f"conv{i}"]["kernel"])
+            _export_bn(out, f"{src}.bn{i}", bp[f"bn{i}"], bs[f"bn{i}"])
+        if "downsample_conv" in bp:
+            out[f"{src}.downsample.0.weight"] = _inv_conv_kernel(
+                bp["downsample_conv"]["kernel"])
+            _export_bn(out, f"{src}.downsample.1", bp["downsample_bn"],
+                       bs["downsample_bn"])
+    if is_clip:
+        attn = params["attnpool"]
+        out[f"{prefix}attnpool.positional_embedding"] = np.asarray(
+            attn["positional_embedding"])
+        for name in ("q_proj", "k_proj", "v_proj", "c_proj"):
+            _export_dense(out, f"{prefix}attnpool.{name}", attn[name])
+
+
+def _export_textual(out: dict, prefix: str, params: dict,
+                    constants: Optional[dict] = None) -> None:
+    """Inverse of convert_gru (reference gru.py: nn.GRU bias=False; embed is
+    nn.Embedding(padding_idx=0), an nn.Linear adapter, or absent)."""
+    if "token_embedding" in params:
+        table = np.asarray(params["token_embedding"]).copy()
+        table[0] = 0.0  # nn.Embedding(padding_idx=0): the pad row is zero
+        out[f"{prefix}embed.weight"] = table
+    elif "embed_adapter" in params:
+        _export_dense(out, f"{prefix}embed", params["embed_adapter"])
+    del constants  # the frozen CLIP table is not a reference model weight
+    layers = sorted({int(k.rsplit("l", 1)[1]) for k in params
+                     if k.startswith("fwd_w_ih_l")})
+    for layer in layers:
+        out[f"{prefix}gru.weight_ih_l{layer}"] = _inv_linear_kernel(
+            params[f"fwd_w_ih_l{layer}"])
+        out[f"{prefix}gru.weight_hh_l{layer}"] = _inv_linear_kernel(
+            params[f"fwd_w_hh_l{layer}"])
+        if f"bwd_w_ih_l{layer}" in params:
+            out[f"{prefix}gru.weight_ih_l{layer}_reverse"] = _inv_linear_kernel(
+                params[f"bwd_w_ih_l{layer}"])
+            out[f"{prefix}gru.weight_hh_l{layer}_reverse"] = _inv_linear_kernel(
+                params[f"bwd_w_hh_l{layer}"])
+
+
+def export_textreid_checkpoint(pieces: dict, cfg) -> StateDict:
+    """Our TrainState pieces -> a reference-layout torch state dict — the
+    exact inverse of :func:`convert_textreid_checkpoint`, so a model trained
+    here can be evaluated by the upstream torch code (and round-trips
+    bit-exactly through import -> export).
+
+    ``pieces`` uses the importer's output schema: ``params``/``batch_stats``
+    mandatory; ``key_params``/``key_batch_stats``/``v_queue``/``t_queue``/
+    ``id_queue``/``queue_ptr`` for MoCo states (queues in our [K, D] row
+    layout — transposed back to the reference's [D, K],
+    moco_head/head.py:53-58).  Only the bi-GRU textual tower has a
+    reference counterpart; exporting a transformer-tower state raises.
+    """
+    if cfg.MODEL.TEXTUAL_MODEL != "bigru":
+        raise ValueError(
+            f"the reference has no {cfg.MODEL.TEXTUAL_MODEL!r} textual "
+            "tower — only bigru states can be exported to its layout"
+        )
+    params = jax.tree.map(np.asarray, dict(pieces["params"]))
+    stats = jax.tree.map(np.asarray, dict(pieces.get("batch_stats", {})))
+    is_clip = cfg.MODEL.VISUAL_MODEL.startswith("m_")
+    is_moco = cfg.MODEL.EMBEDDING.EMBED_HEAD == "moco"
+
+    out: StateDict = {}
+    _export_visual(out, "visual_model.", params["visual"],
+                   stats.get("visual", {}), is_clip)
+    _export_textual(out, "textual_model.", params["textual"],
+                    pieces.get("constants"))
+
+    em = "embed_model."
+    if is_moco:
+        _export_dense(out, em + "v_embed_layer", params["v_embed_layer"])
+        _export_dense(out, em + "t_embed_layer", params["t_embed_layer"])
+        out[em + "loss_evaluator.projection"] = params["projection"]
+        if "v_fc" in params:
+            for tower in ("v", "t"):
+                _export_dense(out, f"{em}{tower}_fc_q.0",
+                              params[f"{tower}_fc"]["fc1"])
+                _export_dense(out, f"{em}{tower}_fc_q.2",
+                              params[f"{tower}_fc"]["fc2"])
+        key_params = jax.tree.map(np.asarray, dict(pieces["key_params"]))
+        key_stats = jax.tree.map(
+            np.asarray, dict(pieces.get("key_batch_stats", {})))
+        _export_visual(out, em + "v_encoder_k.", key_params["visual"],
+                       key_stats.get("visual", {}), is_clip)
+        _export_textual(out, em + "t_encoder_k.", key_params["textual"])
+        if "v_fc" in key_params:
+            for tower in ("v", "t"):
+                _export_dense(out, f"{em}{tower}_fc_k.0",
+                              key_params[f"{tower}_fc"]["fc1"])
+                _export_dense(out, f"{em}{tower}_fc_k.2",
+                              key_params[f"{tower}_fc"]["fc2"])
+        out[em + "v_queue"] = np.transpose(np.asarray(pieces["v_queue"]),
+                                           (1, 0))
+        out[em + "t_queue"] = np.transpose(np.asarray(pieces["t_queue"]),
+                                           (1, 0))
+        out[em + "id_queue"] = np.asarray(
+            pieces["id_queue"]).reshape(1, -1).astype(np.int64)
+        out[em + "queue_ptr"] = np.asarray(
+            pieces["queue_ptr"]).reshape(1).astype(np.int64)
+    else:
+        _export_dense(out, em + "visual_embed_layer",
+                      params["v_embed_layer"])
+        _export_dense(out, em + "textual_embed_layer",
+                      params["t_embed_layer"])
+        out[em + "loss_evaluator.projection"] = params["projection"]
+    return out
+
+
+def save_torch_state_dict(sd: StateDict, path: str) -> None:
+    """Write a numpy state dict as a torch ``.pth`` the reference's
+    ``Checkpointer`` loads (``{"model": state_dict}``, reference
+    checkpoint.py:40-47)."""
+    import torch
+
+    torch.save({"model": {k: torch.from_numpy(np.ascontiguousarray(v))
+                          for k, v in sd.items()}}, path)
 
 
 def resize_pos_embed_2d(posemb: Array, src_grid: Tuple[int, int],
