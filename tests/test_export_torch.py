@@ -22,6 +22,20 @@ from textreid_tpu.utils.weight_convert import (
 RNG = np.random.RandomState(5)
 
 
+def _simple_head_sd():
+    """A reference-layout simple-head state dict (visual_embed_layer /
+    textual_embed_layer naming, reference simple_head/head.py)."""
+    sd = {}
+    for k, v in _rand_m_resnet_sd((3, 4, 6, 3), 8, 24).items():
+        sd["visual_model." + k] = v
+    sd.update(_gru_sd("textual_model."))
+    sd.update(_dense_sd("embed_model.visual_embed_layer", 16, 24))
+    sd.update(_dense_sd("embed_model.textual_embed_layer", 16, 12))
+    sd["embed_model.loss_evaluator.projection"] = RNG.randn(
+        16, 11).astype(np.float32)
+    return sd
+
+
 class TestRoundTrip:
     def test_moco_checkpoint_round_trips_bit_exact(self):
         """reference sd -> import -> export: every original key comes back
@@ -59,14 +73,7 @@ class TestRoundTrip:
         textual_embed_layer naming (reference simple_head/head.py)."""
         cfg = tiny_cfg()
         cfg.MODEL.EMBEDDING.EMBED_HEAD = "simple"
-        sd = {}
-        for k, v in _rand_m_resnet_sd((3, 4, 6, 3), 8, 24).items():
-            sd["visual_model." + k] = v
-        sd.update(_gru_sd("textual_model."))
-        sd.update(_dense_sd("embed_model.visual_embed_layer", 16, 24))
-        sd.update(_dense_sd("embed_model.textual_embed_layer", 16, 12))
-        sd["embed_model.loss_evaluator.projection"] = RNG.randn(
-            16, 11).astype(np.float32)
+        sd = _simple_head_sd()
         pieces = convert_textreid_checkpoint(sd, cfg)
         back = export_textreid_checkpoint(pieces, cfg)
         missing = set(sd) - set(back)
@@ -112,18 +119,107 @@ class TestRoundTrip:
         call time, gru.py embed_tokens)."""
         cfg = tiny_cfg()
         cfg.MODEL.EMBEDDING.EMBED_HEAD = "simple"
-        sd = {}
-        for k, v in _rand_m_resnet_sd((3, 4, 6, 3), 8, 24).items():
-            sd["visual_model." + k] = v
-        sd.update(_gru_sd("textual_model."))
-        sd.update(_dense_sd("embed_model.visual_embed_layer", 16, 24))
-        sd.update(_dense_sd("embed_model.textual_embed_layer", 16, 12))
-        sd["embed_model.loss_evaluator.projection"] = RNG.randn(
-            16, 11).astype(np.float32)
-        pieces = convert_textreid_checkpoint(sd, cfg)
+        pieces = convert_textreid_checkpoint(_simple_head_sd(), cfg)
         table = RNG.randn(40, 8).astype(np.float32)
         pieces["params"]["textual"]["token_embedding"] = table
         back = export_textreid_checkpoint(pieces, cfg)
         got = back["textual_model.embed.weight"]
         np.testing.assert_array_equal(got[0], np.zeros(8, np.float32))
         np.testing.assert_array_equal(got[1:], table[1:])
+
+
+class TestInstallTorchCheckpoint:
+    """Regression: build_eval_state's .pth branch must install the MoCo
+    pieces (key encoders, queues, pointer) — not just params/batch_stats —
+    or re-exporting a torch checkpoint (tools/export_torch.py
+    --checkpoint-file *.pth) would silently emit random-init MoCo state."""
+
+    def test_moco_pieces_installed_and_reexport_matches(self):
+        import jax
+
+        from tests.test_full_checkpoint_convert import tiny_model
+        from textreid_tpu.engine import create_train_state
+        from textreid_tpu.solver import make_optimizer
+        from textreid_tpu.utils.bootstrap import install_torch_checkpoint
+
+        cfg = tiny_cfg()
+        sd = make_reference_checkpoint()
+        converted = convert_textreid_checkpoint(sd, cfg)
+
+        model = tiny_model(cfg)
+        rng = np.random.RandomState(2)
+        batch = {
+            "pixels": rng.randint(0, 255, (4, 32, 16, 3), dtype=np.uint8),
+            "erase": np.zeros((4, 5), np.int32),
+            "token_ids": rng.randint(1, 40, (4, 10)).astype(np.int32),
+            "lengths": rng.randint(2, 10, (4,)).astype(np.int32),
+            "pids": rng.randint(0, 11, (4,)).astype(np.int32),
+        }
+        variables = model.init(
+            jax.random.PRNGKey(0), np.asarray(batch["pixels"]),
+            np.asarray(batch["token_ids"]), np.asarray(batch["lengths"]),
+            method="init_all",
+        )
+        tx = make_optimizer(cfg, variables["params"])
+        state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0),
+                                   batch)
+        state = install_torch_checkpoint(state, converted)
+
+        # the checkpoint's MoCo buffers landed in the state (not random init)
+        np.testing.assert_array_equal(
+            np.asarray(state.v_queue), sd["embed_model.v_queue"].T)
+        np.testing.assert_array_equal(
+            np.asarray(state.id_queue),
+            sd["embed_model.id_queue"].reshape(-1).astype(np.int32))
+        assert int(state.queue_ptr) == int(sd["embed_model.queue_ptr"][0])
+        np.testing.assert_allclose(
+            np.asarray(state.key_params["visual"]["conv1"]["kernel"]),
+            np.asarray(converted["key_params"]["visual"]["conv1"]["kernel"]))
+
+        # and exporting that state reproduces the original key/queue tensors
+        pieces = {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "key_params": jax.device_get(state.key_params),
+            "key_batch_stats": jax.device_get(state.key_batch_stats),
+            "v_queue": jax.device_get(state.v_queue),
+            "t_queue": jax.device_get(state.t_queue),
+            "id_queue": jax.device_get(state.id_queue),
+            "queue_ptr": jax.device_get(state.queue_ptr),
+        }
+        back = export_textreid_checkpoint(pieces, cfg)
+        np.testing.assert_allclose(
+            back["embed_model.v_queue"], sd["embed_model.v_queue"],
+            rtol=1e-6)
+        np.testing.assert_allclose(
+            back["embed_model.v_encoder_k.conv1.weight"],
+            sd["embed_model.v_encoder_k.conv1.weight"], rtol=1e-6)
+
+
+class TestMergeShapeValidation:
+    """Regression: merge_pretrained must refuse wrong-shaped checkpoint
+    leaves with a clear error instead of installing them and crashing
+    later inside a jitted step (train_net.py textual warm-start with a
+    mismatched CLIP archive)."""
+
+    def test_shape_mismatch_raises_with_path(self):
+        import pytest
+
+        from textreid_tpu.utils.weight_convert import merge_pretrained
+
+        variables = {"params": {"textual": {
+            "text_projection": np.zeros((4, 4), np.float32)}}}
+        wrong = {"params": {"textual": {
+            "text_projection": np.ones((4, 8), np.float32)}}}
+        with pytest.raises(ValueError, match="params/textual/text_projection"):
+            merge_pretrained(variables, wrong)
+
+    def test_matching_shapes_still_merge(self):
+        from textreid_tpu.utils.weight_convert import merge_pretrained
+
+        variables = {"params": {"a": np.zeros((3,), np.float32)}}
+        src = {"params": {"a": np.ones((3,), np.float64)}}
+        out = merge_pretrained(variables, src)
+        assert np.asarray(out["params"]["a"]).dtype == np.float32
+        np.testing.assert_array_equal(np.asarray(out["params"]["a"]),
+                                      np.ones(3, np.float32))

@@ -77,7 +77,7 @@ class TextTransformer(nn.Module):
                 f"sequence length {seq} exceeds context_length "
                 f"{self.context_length}: positions past the learned "
                 f"positional embedding would silently share its last row. "
-                f"Lower DATASETS.MAX_LENGTH or raise "
+                f"Lower INPUT.MAX_TEXT_LENGTH or raise "
                 f"MODEL.TRANSFORMER.CONTEXT_LENGTH (warm-start resizes the "
                 f"CLIP table by linear interpolation)."
             )

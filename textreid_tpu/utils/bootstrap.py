@@ -86,12 +86,45 @@ def build_eval_state(
             state = Checkpointer().load(checkpoint_file, state)
         else:
             sd = load_torch_state_dict(checkpoint_file)
-            converted = convert_textreid_checkpoint(sd, cfg)
-            merged = merge_pretrained(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                {"params": converted["params"],
-                 "batch_stats": converted["batch_stats"]},
-            )
-            state = state.replace(params=merged["params"],
-                                  batch_stats=merged["batch_stats"])
+            state = install_torch_checkpoint(
+                state, convert_textreid_checkpoint(sd, cfg))
     return model, state, loaders
+
+
+def install_torch_checkpoint(state, converted: dict):
+    """Install an imported reference checkpoint
+    (:func:`weight_convert.convert_textreid_checkpoint` output) into a
+    TrainState: query params/batch_stats plus — when both the state and the
+    checkpoint carry them — the MoCo key encoders, queues, and pointer
+    (reference moco_head/head.py:53-62).  Dropping the MoCo pieces would
+    leave random init in the state — wrong for resume and silently
+    corrupting for re-export (tools/export_torch.py)."""
+    import jax.numpy as jnp
+
+    from .weight_convert import merge_pretrained
+
+    merged = merge_pretrained(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        {"params": converted["params"],
+         "batch_stats": converted["batch_stats"]},
+    )
+    state = state.replace(params=merged["params"],
+                          batch_stats=merged["batch_stats"])
+    if state.key_params is not None and "key_params" in converted:
+        merged_k = merge_pretrained(
+            {"params": state.key_params,
+             "batch_stats": state.key_batch_stats},
+            {"params": converted["key_params"],
+             "batch_stats": converted["key_batch_stats"]},
+        )
+        state = state.replace(
+            key_params=merged_k["params"],
+            key_batch_stats=merged_k["batch_stats"],
+            v_queue=jnp.asarray(converted["v_queue"], state.v_queue.dtype),
+            t_queue=jnp.asarray(converted["t_queue"], state.t_queue.dtype),
+            id_queue=jnp.asarray(converted["id_queue"],
+                                 state.id_queue.dtype),
+            queue_ptr=jnp.asarray(converted["queue_ptr"],
+                                  state.queue_ptr.dtype),
+        )
+    return state

@@ -402,6 +402,11 @@ def export_textreid_checkpoint(pieces: dict, cfg) -> StateDict:
     here can be evaluated by the upstream torch code (and round-trips
     bit-exactly through import -> export).
 
+    Two documented round-trip exceptions: BN ``num_batches_tracked``
+    counters come back 0 (torch bookkeeping with no slot in our state and
+    no effect on eval-mode BN), and the attnpool positional embedding stays
+    at the trained grid (the reference resizes it at load itself).
+
     ``pieces`` uses the importer's output schema: ``params``/``batch_stats``
     mandatory; ``key_params``/``key_batch_stats``/``v_queue``/``t_queue``/
     ``id_queue``/``queue_ptr`` for MoCo states (queues in our [K, D] row
@@ -593,11 +598,14 @@ def load_torch_state_dict(path: str) -> StateDict:
             if isinstance(v, (np.ndarray,)) or hasattr(v, "detach")}
 
 
-def load_clip_visual(path: str, arch: str, final_grid: Tuple[int, int]) -> dict:
+def load_clip_visual(path: str, arch: str, final_grid: Tuple[int, int],
+                     sd: Optional[StateDict] = None) -> dict:
     """CLIP jit archive -> ModifiedResNet variables
-    (reference m_resnet.py:246-291)."""
+    (reference m_resnet.py:246-291).  Pass ``sd`` to reuse an
+    already-loaded archive (they are hundreds of MB)."""
     layers = {"RN50": (3, 4, 6, 3), "RN101": (3, 4, 23, 3)}[arch]
-    sd = load_torch_state_dict(path)
+    if sd is None:
+        sd = load_torch_state_dict(path)
     visual = {k: v for k, v in sd.items() if k.startswith("visual.")}
     return convert_m_resnet(visual, layers, final_grid)
 
@@ -628,15 +636,26 @@ def merge_pretrained(variables: dict, converted: dict,
             for coll, tree in variables.items()
         }
 
-    def merge(dst, src):
+    def merge(dst, src, path):
         if not isinstance(dst, dict):
-            return jnp.asarray(src).astype(np.asarray(dst).dtype) if src is not None else dst
+            if src is None:
+                return dst
+            src = jnp.asarray(src)
+            if tuple(src.shape) != tuple(np.asarray(dst).shape):
+                raise ValueError(
+                    f"pretrained-weight shape mismatch at {path}: checkpoint "
+                    f"{tuple(src.shape)} vs model {tuple(np.asarray(dst).shape)}"
+                    " — the archive does not match the configured model"
+                    " (wrong CLIP variant / MODEL.* spec?)"
+                )
+            return src.astype(np.asarray(dst).dtype)
         out = {}
         for k, v in dst.items():
-            out[k] = merge(v, src.get(k)) if isinstance(src, dict) else v
+            out[k] = (merge(v, src.get(k), f"{path}/{k}")
+                      if isinstance(src, dict) else v)
         return out
 
     return {
-        coll: merge(tree, converted.get(coll, {}))
+        coll: merge(tree, converted.get(coll, {}), coll)
         for coll, tree in variables.items()
     }

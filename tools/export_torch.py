@@ -8,8 +8,10 @@ checkpoint.py:40-47 ``{"model": ...}`` envelope) — query towers under
 ``visual_model.``/``textual_model.``, embed layers and loss projection
 under ``embed_model.``, MoCo key encoders/queues/pointer in the
 reference's buffer shapes (moco_head/head.py:53-62).  Import -> export
-round-trips bit-exactly (tests/test_export_torch.py); only the bi-GRU
-textual tower is exportable (the reference has no transformer branch).
+round-trips bit-exactly (tests/test_export_torch.py) except BN
+``num_batches_tracked`` counters (re-emitted as 0) and the attnpool
+pos-embed grid; only the bi-GRU textual tower is exportable (the
+reference has no transformer branch).
 
 Usage:
   python tools/export_torch.py --root $ROOT \

@@ -108,13 +108,15 @@ def train(cfg, output_dir, resume_from, use_tensorboard):
     # m_resnet.py:294-307 path conventions (+ the ViT extension).
     visual = None
     clip_archive = None  # the archive also holds the text tower
+    clip_sd = None  # cached state dict so the archive loads at most once
     if cfg.MODEL.VISUAL_MODEL.startswith("m_resnet"):
         arch = "RN101" if cfg.MODEL.VISUAL_MODEL.endswith("101") else "RN50"
         clip_path = os.path.join(cfg.ROOT, "pretrained", "clip", f"{arch}.pt")
         if os.path.isfile(clip_path):
             logger.info("Loading CLIP visual weights from %s", clip_path)
+            clip_sd = load_torch_state_dict(clip_path)
             visual = load_clip_visual(
-                clip_path, arch, model.visual.final_grid
+                clip_path, arch, model.visual.final_grid, sd=clip_sd
             )
             clip_archive = clip_path
     elif cfg.MODEL.VISUAL_MODEL.startswith("clip_vit"):
@@ -131,8 +133,8 @@ def train(cfg, output_dir, resume_from, use_tensorboard):
             )
 
             logger.info("Loading CLIP ViT weights from %s", clip_path)
-            sd = _load_sd(clip_path)
-            visual = convert_clip_vit(sd, model.visual.layers,
+            clip_sd = _load_sd(clip_path)
+            visual = convert_clip_vit(clip_sd, model.visual.layers,
                                       final_grid=model.visual.grid)
             visual.setdefault("batch_stats", {})
             clip_archive = clip_path
@@ -174,8 +176,10 @@ def train(cfg, output_dir, resume_from, use_tensorboard):
             from textreid_tpu.utils.weight_convert import convert_clip_text
 
             logger.info("Loading CLIP text weights from %s", clip_archive)
+            if clip_sd is None:
+                clip_sd = load_torch_state_dict(clip_archive)
             textual = convert_clip_text(
-                load_torch_state_dict(clip_archive), model.textual.layers,
+                clip_sd, model.textual.layers,
                 context_length=model.textual.context_length,
             )
             tmerged = merge_pretrained(
