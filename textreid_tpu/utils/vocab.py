@@ -36,10 +36,12 @@ def frozen_table_initializer(cfg):
     otherwise train to garbage).  ``cfg.TPU.ALLOW_RANDOM_VOCAB`` is the
     explicit opt-out for tests/synthetic runs.
     """
-    if cfg.MODEL.TEXTUAL_MODEL != "bigru":
+    if cfg.MODEL.TEXTUAL_MODEL in ("transformer", "clip_transformer"):
         # The frozen CLIP token table is a GRU-branch concept
         # (gru.py:24-34); the transformer tower owns its token embedding
         # (warm-started from the CLIP archive, models/text_transformer.py).
+        # Any other value (bigru, the reference's default "bilstm", ...)
+        # keeps the table contract, including its missing-file hard error.
         return None
     mode = cfg.MODEL.GRU.ONEHOT
     if mode == "yes":
