@@ -206,15 +206,14 @@ def train(cfg, output_dir, resume_from, use_tensorboard):
         if os.path.isdir(cfg.MODEL.WEIGHT):
             state = checkpointer.load(cfg.MODEL.WEIGHT, state)
         elif os.path.isfile(cfg.MODEL.WEIGHT):
+            # install_torch_checkpoint carries the MoCo key encoders,
+            # queues, and pointer too — the reference's load_state_dict
+            # restores those buffers wholesale (checkpoint.py:40-47).
+            from textreid_tpu.utils.bootstrap import install_torch_checkpoint
+
             sd = load_torch_state_dict(cfg.MODEL.WEIGHT)
-            converted = convert_textreid_checkpoint(sd, cfg)
-            merged = merge_pretrained(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                {"params": converted["params"],
-                 "batch_stats": converted["batch_stats"]},
-            )
-            state = state.replace(params=merged["params"],
-                                  batch_stats=merged["batch_stats"])
+            state = install_torch_checkpoint(
+                state, convert_textreid_checkpoint(sd, cfg))
         else:
             raise IOError(f"{cfg.MODEL.WEIGHT} is not a checkpoint file")
 
