@@ -56,6 +56,10 @@ def main():
     cfg.ROOT = args.root
     cfg.freeze()
 
+    from textreid_tpu.utils.platform import setup_compilation_cache
+
+    setup_compilation_cache(cfg)
+
     output_dir = os.path.join(
         args.root, "./output", "/".join(args.config_file.split("/")[-2:])[:-5]
     )

@@ -190,6 +190,10 @@ _C.TPU.REMAT = False
 # Raise on non-finite training losses at every log boundary (the jit-pure
 # analogue of torch anomaly detection; SURVEY 5.2).
 _C.TPU.DEBUG_NANS = False
+# Persistent compilation cache directory ("" = off): restarts (preemption
+# recovery, serving replica boots, repeated evals) reload compiled
+# executables from disk instead of paying the 20-40 s first compile.
+_C.TPU.COMPILATION_CACHE_DIR = ""
 # Multi-host input sharding: each process decodes only its slice of every
 # global train batch (loader process_shard mode + shard_local_batch).
 # Active only when jax.process_count() > 1.

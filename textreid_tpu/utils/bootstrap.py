@@ -50,6 +50,10 @@ def build_eval_state(
         merge_pretrained,
     )
 
+    from .platform import setup_compilation_cache
+
+    setup_compilation_cache(cfg)
+
     if use_pallas is None:
         use_pallas = (bool(cfg.TPU.GRU_PALLAS)
                       and jax.default_backend() == "tpu")

@@ -31,6 +31,33 @@ def compute_dtype(cfg):
     return jnp.bfloat16 if name == "bfloat16" else jnp.float32
 
 
+def setup_compilation_cache(cfg) -> None:
+    """Enable JAX's persistent compilation cache when
+    ``TPU.COMPILATION_CACHE_DIR`` is set (empty = off, the default).
+
+    First compile of the flagship train step is ~20-40 s on TPU; with the
+    cache, restarts (preemption recovery, serving replica boots, repeated
+    eval jobs) reload the compiled executable from disk instead.  Safe to
+    share between hosts of one pod slice — entries are keyed by HLO,
+    compile flags, and device kind.  The reference has no analogue (torch
+    eager recompiles nothing, but also fuses nothing).
+    """
+    path = getattr(cfg.TPU, "COMPILATION_CACHE_DIR", "")
+    if not path:
+        return
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # Cache every compile that takes >=1 s — the per-phase jitted programs
+    # all do; skip the sub-second helper jits that would bloat the dir.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import logging
+
+    logging.getLogger("PersonSearch.platform").info(
+        "Persistent compilation cache at %s", path)
+
+
 def distributed_initialize() -> None:
     """``jax.distributed.initialize`` with explicit env-var fallbacks.
 

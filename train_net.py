@@ -19,7 +19,10 @@ import numpy as np
 
 import jax
 
-from textreid_tpu.utils.platform import ensure_platform
+from textreid_tpu.utils.platform import (
+    ensure_platform,
+    setup_compilation_cache,
+)
 
 ensure_platform()
 
@@ -101,6 +104,7 @@ def train(cfg, output_dir, resume_from, use_tensorboard):
     )
 
     logger = setup_logger("PersonSearch", output_dir, jax.process_index())
+    setup_compilation_cache(cfg)
     (model, state, tx, data_loader, data_loader_val, mesh,
      lr_schedule) = build_everything(cfg, logger)
 
