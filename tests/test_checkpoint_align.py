@@ -144,3 +144,55 @@ class TestCheckpointerTolerantLoad:
         loaded = ck.load(path, new)
         np.testing.assert_array_equal(
             np.asarray(loaded.params["visual"]["conv1"]["kernel"]), 3.0)
+
+
+class TestPruneEpochs:
+    """SOLVER.CHECKPOINT_KEEP retention: only the newest N epoch_* dirs
+    survive; 'best' and non-epoch names are never touched."""
+
+    @staticmethod
+    def _make_ckpt_dirs(root, names):
+        import os
+
+        for n in names:
+            os.makedirs(os.path.join(root, n))
+            with open(os.path.join(root, n + ".meta.json"), "w") as f:
+                f.write("{}")
+
+    def test_keeps_newest_n(self, tmp_path):
+        import os
+
+        from textreid_tpu.utils.checkpoint import Checkpointer
+
+        root = str(tmp_path)
+        self._make_ckpt_dirs(
+            root, ["epoch_1", "epoch_2", "epoch_9", "epoch_10", "best"])
+        ck = Checkpointer(save_dir=root, save_to_disk=True)
+        ck.prune_epochs(2)
+        left = sorted(d for d in os.listdir(root) if os.path.isdir(
+            os.path.join(root, d)))
+        # numeric order: epoch_9/epoch_10 are newest (not lexicographic)
+        assert left == ["best", "epoch_10", "epoch_9"]
+        assert not os.path.exists(os.path.join(root, "epoch_1.meta.json"))
+        assert os.path.exists(os.path.join(root, "epoch_9.meta.json"))
+
+    def test_zero_keeps_all(self, tmp_path):
+        import os
+
+        from textreid_tpu.utils.checkpoint import Checkpointer
+
+        root = str(tmp_path)
+        self._make_ckpt_dirs(root, ["epoch_1", "epoch_2"])
+        Checkpointer(save_dir=root, save_to_disk=True).prune_epochs(0)
+        assert sorted(os.listdir(root)) == [
+            "epoch_1", "epoch_1.meta.json", "epoch_2", "epoch_2.meta.json"]
+
+    def test_keep_larger_than_present(self, tmp_path):
+        import os
+
+        from textreid_tpu.utils.checkpoint import Checkpointer
+
+        root = str(tmp_path)
+        self._make_ckpt_dirs(root, ["epoch_1"])
+        Checkpointer(save_dir=root, save_to_disk=True).prune_epochs(5)
+        assert os.path.isdir(os.path.join(root, "epoch_1"))

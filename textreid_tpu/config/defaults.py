@@ -107,6 +107,10 @@ _C.SOLVER = CN()
 _C.SOLVER.IMS_PER_BATCH = 16
 _C.SOLVER.NUM_EPOCHS = 100
 _C.SOLVER.CHECKPOINT_PERIOD = 1
+# Keep only the newest N epoch_* checkpoints (0 = keep all, the
+# reference's behavior). 'best' is never pruned. An 80-epoch flagship run
+# otherwise accumulates ~12 GB of epoch dirs.
+_C.SOLVER.CHECKPOINT_KEEP = 0
 _C.SOLVER.EVALUATE_PERIOD = 1
 # Steps between log lines.  The reference logs every iteration
 # (trainer.py:100); on TPU each log forces a host sync, so default sparser.

@@ -153,9 +153,14 @@ def do_train(
 
         if checkpoint_period and epoch % checkpoint_period == 0:
             checkpointer.save(f"epoch_{epoch}", state, **arguments)
+            checkpointer.prune_epochs(cfg.SOLVER.CHECKPOINT_KEEP)
 
     # commit any in-flight async checkpoint before declaring training done
     checkpointer.wait()
+    # during training an async-in-flight epoch is invisible to the prune
+    # pass (not on disk yet), so up to KEEP+1 can transiently exist; this
+    # post-commit prune makes the final state exact.
+    checkpointer.prune_epochs(cfg.SOLVER.CHECKPOINT_KEEP)
     total_time = time.time() - start_training_time
     logger.info(
         "Total training time: %s (%.4f s / it)",

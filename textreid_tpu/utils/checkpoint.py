@@ -203,6 +203,31 @@ class Checkpointer:
             with open(path + ".meta.json", "w") as f:
                 json.dump(kwargs, f)
 
+    def prune_epochs(self, keep: int) -> None:
+        """Delete all but the newest ``keep`` ``epoch_*`` checkpoints
+        (SOLVER.CHECKPOINT_KEEP). ``best`` and non-epoch names are never
+        touched.  Primary-host only; deleting OLD epoch dirs is safe while
+        the newest save is still committing asynchronously (saves are
+        serialized by ``wait()`` in :meth:`save`)."""
+        if keep <= 0 or not self.save_dir or not self.save_to_disk:
+            return
+        import re
+        import shutil
+
+        epochs = sorted(
+            (int(m.group(1)), name)
+            for name in os.listdir(self.save_dir)
+            if (m := re.fullmatch(r"epoch_(\d+)", name))
+            and os.path.isdir(self._path(name))
+        )
+        for _, name in epochs[:-keep]:
+            path = self._path(name)
+            self.logger.info("Pruning checkpoint %s", path)
+            shutil.rmtree(path, ignore_errors=True)
+            meta = path + ".meta.json"
+            if os.path.exists(meta):
+                os.remove(meta)
+
     WEIGHT_FIELDS = ("params", "batch_stats", "constants", "key_params",
                      "key_batch_stats")
 
