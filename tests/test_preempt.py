@@ -1,0 +1,95 @@
+"""Preemption-safe training (`utils/preempt.py` + the trainer's
+log-boundary poll): SIGTERM -> 'preempt' checkpoint -> exit 0 ->
+`--resume-from auto` resumes from it when it is the newest state."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+from tests.test_cli import REPO, workspace  # noqa: F401 (fixture)
+from textreid_tpu.utils.preempt import PreemptionGuard
+
+
+class TestPreemptionGuard:
+    def test_trip_sets_triggered(self):
+        g = PreemptionGuard(enabled=False)
+        assert not g.triggered
+        g.trip()
+        assert g.triggered
+        # single-process consensus == local flag
+        assert g.triggered_global()
+
+    def test_install_and_uninstall(self):
+        prev = signal.getsignal(signal.SIGTERM)
+        g = PreemptionGuard(enabled=True)
+        assert g.installed
+        assert signal.getsignal(signal.SIGTERM) == g._handle
+        g.uninstall()
+        assert signal.getsignal(signal.SIGTERM) in (prev, signal.SIG_DFL)
+
+    def test_sigterm_sets_flag(self):
+        g = PreemptionGuard(enabled=True)
+        try:
+            os.kill(os.getpid(), signal.SIGTERM)
+            deadline = time.time() + 5
+            while not g.triggered and time.time() < deadline:
+                time.sleep(0.01)
+            assert g.triggered
+        finally:
+            g.uninstall()
+
+
+@pytest.mark.slow
+class TestPreemptCLI:
+    def test_sigterm_saves_and_resume_completes(self, workspace):  # noqa: F811
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["TEXTREID_FORCE_CPU"] = "1"
+        out_dir = workspace / "output" / "tiny" / "smoke"
+        args = [
+            sys.executable, os.path.join(REPO, "train_net.py"),
+            "--root", str(workspace),
+            "--config-file", "configs/tiny/smoke.yaml",
+            "SOLVER.NUM_EPOCHS", "30", "SOLVER.EVALUATE_PERIOD", "0",
+        ]
+        proc = subprocess.Popen(args, cwd=str(workspace), env=env,
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.STDOUT, text=True)
+        # wait until at least one epoch boundary has committed, then signal
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            if (out_dir / "epoch_1.meta.json").exists():
+                break
+            if proc.poll() is not None:
+                raise AssertionError(
+                    "train exited early:\n" + proc.stdout.read()[-4000:])
+            time.sleep(0.5)
+        else:
+            proc.kill()
+            raise AssertionError("no epoch checkpoint within deadline")
+        proc.send_signal(signal.SIGTERM)
+        stdout, _ = proc.communicate(timeout=300)
+        assert proc.returncode == 0, stdout[-4000:]
+        assert "Preemption signal" in stdout
+        assert (out_dir / "preempt").is_dir()
+        meta = json.loads((out_dir / "preempt.meta.json").read_text())
+        assert meta["iteration"] >= 1
+
+        # resume must pick the preempt checkpoint and run to completion
+        result = subprocess.run(
+            args[:6] + ["--resume-from", "auto",
+                        "SOLVER.NUM_EPOCHS", str(meta["epoch"] + 1),
+                        "SOLVER.EVALUATE_PERIOD", "0"],
+            cwd=str(workspace), env=env, capture_output=True, text=True,
+            timeout=900,
+        )
+        combined = result.stdout + result.stderr
+        assert result.returncode == 0, combined[-4000:]
+        assert "Auto-resuming from" in combined
+        assert os.path.join("smoke", "preempt") in combined
+        assert "Total training time" in combined

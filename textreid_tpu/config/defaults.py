@@ -194,6 +194,11 @@ _C.TPU.REMAT = False
 # Raise on non-finite training losses at every log boundary (the jit-pure
 # analogue of torch anomaly detection; SURVEY 5.2).
 _C.TPU.DEBUG_NANS = False
+# SIGTERM-safe training: on a preemption signal the trainer saves a
+# 'preempt' checkpoint at the next log boundary (multi-host consensus via
+# allgather) and exits 0; --resume-from auto prefers it when newer than
+# the last epoch boundary.
+_C.TPU.PREEMPT_SAVE = True
 # Persistent compilation cache directory ("" = off): restarts (preemption
 # recovery, serving replica boots, repeated evals) reload compiled
 # executables from disk instead of paying the 20-40 s first compile.

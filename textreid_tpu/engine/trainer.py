@@ -72,9 +72,15 @@ def do_train(
     lr_schedule,
     arguments: dict,
     mesh=None,
+    preempt_guard=None,
 ):
     logger = logging.getLogger("PersonSearch.trainer")
     logger.info("Start training")
+
+    if preempt_guard is None:
+        from ..utils.preempt import PreemptionGuard
+
+        preempt_guard = PreemptionGuard(enabled=bool(cfg.TPU.PREEMPT_SAVE))
 
     max_epoch = int(arguments.get("max_epoch", cfg.SOLVER.NUM_EPOCHS))
     epoch = int(arguments.get("epoch", 0))
@@ -139,6 +145,20 @@ def do_train(
                     "eta: %s  epoch [%d][%d/%d]  %s  lr: %.6f",
                     eta, epoch, step, steps_per_epoch, meters, lr,
                 )
+                if preempt_guard.triggered_global():
+                    # SIGTERM mid-epoch: save under 'preempt' with the
+                    # meta pinned one epoch back so resume re-runs the
+                    # interrupted epoch (epoch-granular semantics; the
+                    # state itself is mid-epoch, strictly more trained).
+                    logger.warning(
+                        "Preemption signal at iteration %d; saving "
+                        "'preempt' checkpoint and exiting", iteration)
+                    checkpointer.save(
+                        "preempt", state,
+                        **{**arguments, "epoch": epoch - 1})
+                    checkpointer.wait()
+                    preempt_guard.uninstall()
+                    return state
 
         if evaluate_period and epoch % evaluate_period == 0 and data_loader_val:
             top1 = inference(
@@ -161,6 +181,7 @@ def do_train(
     # pass (not on disk yet), so up to KEEP+1 can transiently exist; this
     # post-commit prune makes the final state exact.
     checkpointer.prune_epochs(cfg.SOLVER.CHECKPOINT_KEEP)
+    preempt_guard.uninstall()
     total_time = time.time() - start_training_time
     logger.info(
         "Total training time: %s (%.4f s / it)",

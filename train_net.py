@@ -234,6 +234,23 @@ def train(cfg, output_dir, resume_from, use_tensorboard):
         resume_from = (
             os.path.join(output_dir, candidates[-1]) if candidates else None
         )
+
+        # A SIGTERM 'preempt' checkpoint (engine/trainer.py) wins when it
+        # is strictly newer (by meta iteration) than the last epoch
+        # boundary; a stale one from an older interruption loses.
+        def _meta_iteration(path):
+            import json
+
+            try:
+                with open(path + ".meta.json") as f:
+                    return int(json.load(f).get("iteration", -1))
+            except (OSError, ValueError):
+                return -1
+
+        preempt_path = os.path.join(output_dir, "preempt")
+        if os.path.isdir(preempt_path) and _meta_iteration(preempt_path) > (
+                _meta_iteration(resume_from) if resume_from else -1):
+            resume_from = preempt_path
         if resume_from:
             logger.info("Auto-resuming from %s", resume_from)
         else:
