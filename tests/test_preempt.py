@@ -93,3 +93,39 @@ class TestPreemptCLI:
         assert "Auto-resuming from" in combined
         assert os.path.join("smoke", "preempt") in combined
         assert "Total training time" in combined
+
+
+PREEMPT_WORKER = r"""
+import os, sys
+sys.path.insert(0, os.environ["REPO"])
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=os.environ["COORD"],
+    num_processes=2,
+    process_id=int(os.environ["PID_IDX"]),
+)
+from textreid_tpu.utils.preempt import PreemptionGuard
+
+g = PreemptionGuard(enabled=False)
+# before anyone trips: consensus must be False on BOTH processes
+assert g.triggered_global() is False
+# only process 0 is "signalled" — consensus must still be True on BOTH
+if jax.process_index() == 0:
+    g.trip()
+assert g.triggered_global() is True, "consensus failed on p%d" % (
+    jax.process_index(),)
+print("RESULT PREEMPT_CONSENSUS_OK", jax.process_index())
+"""
+
+
+@pytest.mark.slow
+class TestPreemptConsensus2Proc:
+    def test_one_signalled_process_stops_both(self):
+        from tests.test_multihost import _run_workers
+
+        outs = _run_workers(PREEMPT_WORKER)
+        for out in outs:
+            assert "RESULT PREEMPT_CONSENSUS_OK" in out
