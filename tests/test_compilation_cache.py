@@ -20,6 +20,8 @@ class TestCompilationCache:
 
     def test_populates_cache_dir(self, tmp_path):
         cache = str(tmp_path / "jitcache")
+        prev_min_compile = jax.config.jax_persistent_cache_min_compile_time_secs
+        prev_min_entry = jax.config.jax_persistent_cache_min_entry_size_bytes
         cfg = get_default_cfg()
         cfg.TPU.COMPILATION_CACHE_DIR = cache
         setup_compilation_cache(cfg)
@@ -43,4 +45,6 @@ class TestCompilationCache:
         finally:
             jax.config.update("jax_compilation_cache_dir", None)
             jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              1.0)
+                              prev_min_compile)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                              prev_min_entry)

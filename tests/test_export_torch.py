@@ -195,6 +195,17 @@ class TestInstallTorchCheckpoint:
             back["embed_model.v_encoder_k.conv1.weight"],
             sd["embed_model.v_encoder_k.conv1.weight"], rtol=1e-6)
 
+        # queue buffers get the same shape gate as params: a checkpoint
+        # trained with a different MOCO.K must fail with the buffer named
+        import pytest
+
+        wrong = dict(converted)
+        wrong["v_queue"] = np.zeros(
+            (converted["v_queue"].shape[0] * 2,
+             converted["v_queue"].shape[1]), np.float32)
+        with pytest.raises(ValueError, match="v_queue"):
+            install_torch_checkpoint(state, wrong)
+
 
 class TestMergeShapeValidation:
     """Regression: merge_pretrained must refuse wrong-shaped checkpoint

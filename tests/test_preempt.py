@@ -57,23 +57,30 @@ class TestPreemptCLI:
             "--config-file", "configs/tiny/smoke.yaml",
             "SOLVER.NUM_EPOCHS", "30", "SOLVER.EVALUATE_PERIOD", "0",
         ]
-        proc = subprocess.Popen(args, cwd=str(workspace), env=env,
-                                stdout=subprocess.PIPE,
-                                stderr=subprocess.STDOUT, text=True)
-        # wait until at least one epoch boundary has committed, then signal
-        deadline = time.time() + 600
-        while time.time() < deadline:
-            if (out_dir / "epoch_1.meta.json").exists():
-                break
-            if proc.poll() is not None:
-                raise AssertionError(
-                    "train exited early:\n" + proc.stdout.read()[-4000:])
-            time.sleep(0.5)
-        else:
-            proc.kill()
-            raise AssertionError("no epoch checkpoint within deadline")
-        proc.send_signal(signal.SIGTERM)
-        stdout, _ = proc.communicate(timeout=300)
+        # child output goes to a file, not a PIPE: the poll loop below
+        # doesn't drain, and a filled 64 KB pipe would block the child's
+        # log writes before it ever reaches the epoch boundary.
+        log_path = workspace / "preempt_child.log"
+        with open(log_path, "w") as log_f:
+            proc = subprocess.Popen(args, cwd=str(workspace), env=env,
+                                    stdout=log_f, stderr=subprocess.STDOUT,
+                                    text=True)
+            # wait until an epoch boundary has committed, then signal
+            deadline = time.time() + 600
+            while time.time() < deadline:
+                if (out_dir / "epoch_1.meta.json").exists():
+                    break
+                if proc.poll() is not None:
+                    raise AssertionError(
+                        "train exited early:\n"
+                        + log_path.read_text()[-4000:])
+                time.sleep(0.5)
+            else:
+                proc.kill()
+                raise AssertionError("no epoch checkpoint within deadline")
+            proc.send_signal(signal.SIGTERM)
+            proc.wait(timeout=300)
+        stdout = log_path.read_text()
         assert proc.returncode == 0, stdout[-4000:]
         assert "Preemption signal" in stdout
         assert (out_dir / "preempt").is_dir()
@@ -93,6 +100,12 @@ class TestPreemptCLI:
         assert "Auto-resuming from" in combined
         assert os.path.join("smoke", "preempt") in combined
         assert "Total training time" in combined
+        # the resume honored THIS run's NUM_EPOCHS, not the max_epoch
+        # frozen into the preempt meta (which said 30): training stopped
+        # exactly at the overridden budget.
+        final = meta["epoch"] + 1
+        assert (out_dir / f"epoch_{final}.meta.json").exists()
+        assert not (out_dir / f"epoch_{final + 1}").exists()
 
 
 PREEMPT_WORKER = r"""

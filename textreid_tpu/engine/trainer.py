@@ -82,110 +82,115 @@ def do_train(
 
         preempt_guard = PreemptionGuard(enabled=bool(cfg.TPU.PREEMPT_SAVE))
 
-    max_epoch = int(arguments.get("max_epoch", cfg.SOLVER.NUM_EPOCHS))
-    epoch = int(arguments.get("epoch", 0))
-    iteration = int(arguments.get("iteration", 0))
-    checkpoint_period = cfg.SOLVER.CHECKPOINT_PERIOD
-    evaluate_period = cfg.SOLVER.EVALUATE_PERIOD
-    steps_per_epoch = len(data_loader)
-    max_iter = max_epoch * steps_per_epoch
+    # any exit — normal, preempt, or exception — must restore the
+    # previous SIGTERM handler and commit in-flight async saves; an
+    # exception leaving the guard installed would silently eat the
+    # scheduler's grace SIGTERM while the process unwinds.
+    try:
+        max_epoch = int(arguments.get("max_epoch", cfg.SOLVER.NUM_EPOCHS))
+        epoch = int(arguments.get("epoch", 0))
+        iteration = int(arguments.get("iteration", 0))
+        checkpoint_period = cfg.SOLVER.CHECKPOINT_PERIOD
+        evaluate_period = cfg.SOLVER.EVALUATE_PERIOD
+        steps_per_epoch = len(data_loader)
+        max_iter = max_epoch * steps_per_epoch
 
-    donate = (0,) if cfg.TPU.DONATE_STATE else ()
-    train_step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=donate)
+        donate = (0,) if cfg.TPU.DONATE_STATE else ()
+        train_step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=donate)
 
-    if mesh is not None:
-        state = replicate_state(state, mesh)
+        if mesh is not None:
+            state = replicate_state(state, mesh)
 
-    best_top1 = float(arguments.get("best_top1", 0.0))
-    start_training_time = time.time()
-    end = time.time()
+        best_top1 = float(arguments.get("best_top1", 0.0))
+        start_training_time = time.time()
+        end = time.time()
 
-    while epoch < max_epoch:
-        data_loader.set_epoch(epoch)
-        # Per-epoch LR (reference trainer.py:121 steps the scheduler per
-        # epoch; epoch e trains at lr(last_epoch = e) with 0-based epochs).
-        lr = lr_schedule(epoch)
-        state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
+        while epoch < max_epoch:
+            data_loader.set_epoch(epoch)
+            # Per-epoch LR (reference trainer.py:121 steps the scheduler per
+            # epoch; epoch e trains at lr(last_epoch = e) with 0-based epochs).
+            lr = lr_schedule(epoch)
+            state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
 
-        epoch += 1
-        arguments["epoch"] = epoch
+            epoch += 1
+            arguments["epoch"] = epoch
 
-        log_period = max(1, int(cfg.SOLVER.LOG_PERIOD))
-        process_sharded = getattr(data_loader, "process_shard", None) is not None
-        for step, batch in enumerate(
-            device_prefetch(iter(data_loader), mesh,
-                            process_sharded=process_sharded)
-        ):
-            data_time = time.time() - end
-            iteration += 1
-            arguments["iteration"] = iteration
+            log_period = max(1, int(cfg.SOLVER.LOG_PERIOD))
+            process_sharded = getattr(data_loader, "process_shard", None) is not None
+            for step, batch in enumerate(
+                device_prefetch(iter(data_loader), mesh,
+                                process_sharded=process_sharded)
+            ):
+                data_time = time.time() - end
+                iteration += 1
+                arguments["iteration"] = iteration
 
-            state, metrics = train_step(state, batch)
+                state, metrics = train_step(state, batch)
 
-            batch_time = time.time() - end
-            end = time.time()
-            meters.update(time=batch_time, data=data_time)
+                batch_time = time.time() - end
+                end = time.time()
+                meters.update(time=batch_time, data=data_time)
 
-            if step % log_period == 0 or step == steps_per_epoch - 1:
-                # Fetching metrics syncs with the device; do it only at log
-                # boundaries so steps in between stay fully async.
-                host_metrics = {k: float(v) for k, v in metrics.items()}
-                if cfg.TPU.DEBUG_NANS:
-                    bad = [k for k, v in host_metrics.items()
-                           if not _isfinite(v)]
-                    if bad:
-                        raise FloatingPointError(
-                            f"Non-finite training metrics at iteration "
-                            f"{iteration}: {bad}"
-                        )
-                meters.update(**host_metrics)
-                eta_seconds = meters.time.global_avg * (max_iter - iteration)
-                eta = datetime.timedelta(seconds=int(eta_seconds))
-                logger.info(
-                    "eta: %s  epoch [%d][%d/%d]  %s  lr: %.6f",
-                    eta, epoch, step, steps_per_epoch, meters, lr,
+                if step % log_period == 0 or step == steps_per_epoch - 1:
+                    # Fetching metrics syncs with the device; do it only at log
+                    # boundaries so steps in between stay fully async.
+                    host_metrics = {k: float(v) for k, v in metrics.items()}
+                    if cfg.TPU.DEBUG_NANS:
+                        bad = [k for k, v in host_metrics.items()
+                               if not _isfinite(v)]
+                        if bad:
+                            raise FloatingPointError(
+                                f"Non-finite training metrics at iteration "
+                                f"{iteration}: {bad}"
+                            )
+                    meters.update(**host_metrics)
+                    eta_seconds = meters.time.global_avg * (max_iter - iteration)
+                    eta = datetime.timedelta(seconds=int(eta_seconds))
+                    logger.info(
+                        "eta: %s  epoch [%d][%d/%d]  %s  lr: %.6f",
+                        eta, epoch, step, steps_per_epoch, meters, lr,
+                    )
+                    if preempt_guard.triggered_global():
+                        # SIGTERM mid-epoch: save under 'preempt' with the
+                        # meta pinned one epoch back so resume re-runs the
+                        # interrupted epoch (epoch-granular semantics; the
+                        # state itself is mid-epoch, strictly more trained).
+                        logger.warning(
+                            "Preemption signal at iteration %d; saving "
+                            "'preempt' checkpoint and exiting", iteration)
+                        checkpointer.save(
+                            "preempt", state,
+                            **{**arguments, "epoch": epoch - 1})
+                        return state  # finally: wait + uninstall
+
+            if evaluate_period and epoch % evaluate_period == 0 and data_loader_val:
+                top1 = inference(
+                    model, state, data_loader_val[0],
+                    dataset_name="val", save_data=False, rerank=False, mesh=mesh,
                 )
-                if preempt_guard.triggered_global():
-                    # SIGTERM mid-epoch: save under 'preempt' with the
-                    # meta pinned one epoch back so resume re-runs the
-                    # interrupted epoch (epoch-granular semantics; the
-                    # state itself is mid-epoch, strictly more trained).
-                    logger.warning(
-                        "Preemption signal at iteration %d; saving "
-                        "'preempt' checkpoint and exiting", iteration)
-                    checkpointer.save(
-                        "preempt", state,
-                        **{**arguments, "epoch": epoch - 1})
-                    checkpointer.wait()
-                    preempt_guard.uninstall()
-                    return state
+                meters.update(top1=float(top1))
+                if top1 > best_top1:
+                    best_top1 = top1
+                    arguments["best_top1"] = best_top1
+                    checkpointer.save("best", state, **arguments)
 
-        if evaluate_period and epoch % evaluate_period == 0 and data_loader_val:
-            top1 = inference(
-                model, state, data_loader_val[0],
-                dataset_name="val", save_data=False, rerank=False, mesh=mesh,
-            )
-            meters.update(top1=float(top1))
-            if top1 > best_top1:
-                best_top1 = top1
-                arguments["best_top1"] = best_top1
-                checkpointer.save("best", state, **arguments)
+            if checkpoint_period and epoch % checkpoint_period == 0:
+                checkpointer.save(f"epoch_{epoch}", state, **arguments)
+                checkpointer.prune_epochs(cfg.SOLVER.CHECKPOINT_KEEP)
 
-        if checkpoint_period and epoch % checkpoint_period == 0:
-            checkpointer.save(f"epoch_{epoch}", state, **arguments)
-            checkpointer.prune_epochs(cfg.SOLVER.CHECKPOINT_KEEP)
-
-    # commit any in-flight async checkpoint before declaring training done
-    checkpointer.wait()
-    # during training an async-in-flight epoch is invisible to the prune
-    # pass (not on disk yet), so up to KEEP+1 can transiently exist; this
-    # post-commit prune makes the final state exact.
-    checkpointer.prune_epochs(cfg.SOLVER.CHECKPOINT_KEEP)
-    preempt_guard.uninstall()
-    total_time = time.time() - start_training_time
-    logger.info(
-        "Total training time: %s (%.4f s / it)",
-        datetime.timedelta(seconds=int(total_time)),
-        total_time / max(max_iter, 1),
-    )
-    return state
+        # commit any in-flight async checkpoint before declaring training done
+        checkpointer.wait()
+        # during training an async-in-flight epoch is invisible to the prune
+        # pass (not on disk yet), so up to KEEP+1 can transiently exist; this
+        # post-commit prune makes the final state exact.
+        checkpointer.prune_epochs(cfg.SOLVER.CHECKPOINT_KEEP)
+        total_time = time.time() - start_training_time
+        logger.info(
+            "Total training time: %s (%.4f s / it)",
+            datetime.timedelta(seconds=int(total_time)),
+            total_time / max(max_iter, 1),
+        )
+        return state
+    finally:
+        checkpointer.wait()
+        preempt_guard.uninstall()

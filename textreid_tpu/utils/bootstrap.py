@@ -121,6 +121,19 @@ def install_torch_checkpoint(state, converted: dict):
             {"params": converted["key_params"],
              "batch_stats": converted["key_batch_stats"]},
         )
+        # queue buffers get the same shape gate merge_pretrained applies
+        # to params: a checkpoint trained with a different MOCO.K or
+        # FEATURE_SIZE must fail HERE with the buffer named, not as a
+        # cryptic XLA error (or silent pointer wraparound) inside the
+        # first jitted step.
+        for buf in ("v_queue", "t_queue", "id_queue"):
+            want = tuple(getattr(state, buf).shape)
+            got = tuple(jnp.asarray(converted[buf]).shape)
+            if want != got:
+                raise ValueError(
+                    f"MoCo buffer shape mismatch at {buf}: checkpoint "
+                    f"{got} vs model {want} — the checkpoint's MOCO.K/"
+                    f"FEATURE_SIZE does not match the configured model")
         state = state.replace(
             key_params=merged_k["params"],
             key_batch_stats=merged_k["batch_stats"],

@@ -258,6 +258,11 @@ def train(cfg, output_dir, resume_from, use_tensorboard):
     if resume_from:
         state, extra = checkpointer.resume(resume_from, state)
         arguments.update(extra)
+        # progress (epoch/iteration/best_top1) comes from the checkpoint,
+        # but the epoch BUDGET is this run's config: a resume launched
+        # with a different SOLVER.NUM_EPOCHS must honor it, not the value
+        # frozen into the meta at save time.
+        arguments["max_epoch"] = cfg.SOLVER.NUM_EPOCHS
 
     if use_tensorboard:
         meters = TensorboardLogger(
