@@ -3,6 +3,7 @@ cross-checked against direct RetrievalIndex.search results."""
 
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -425,3 +426,44 @@ class TestAutoBatchWindow:
                                   batch_window_ms=2.5)
         service.search({"token_ids": [[1, 2]], "k": 1})
         assert service.batch_window_ms == 2.5
+
+
+class TestGracefulShutdown:
+    """make_server drains on close: shutdown() stops the accept loop and
+    server_close() joins in-flight handler threads (block_on_close), so a
+    SIGTERM'd replica (tools/serve.py) finishes what it accepted."""
+
+    def test_inflight_request_completes_across_shutdown(self, index):
+        import http.client
+
+        vocab = {f"word{i}": i for i in range(1, 30)}
+        service = RetrievalService(
+            index, max_text_length=MAXLEN,
+            tokenizer=SimpleTokenizer(vocab, unk_id=1))
+        srv = make_server(service)
+        assert srv.block_on_close and not srv.daemon_threads
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        host, port = srv.server_address
+
+        # connect FIRST (the handler thread spawns on accept and blocks
+        # reading the request line), THEN shut down, THEN send the
+        # request on the already-accepted connection: the drain contract
+        # says it must still be answered before server_close returns.
+        conn = http.client.HTTPConnection(host, port, timeout=60)
+        conn.connect()
+        time.sleep(0.3)  # let the accept + handler-thread spawn land
+
+        closer = threading.Thread(
+            target=lambda: (srv.shutdown(), srv.server_close()))
+        closer.start()
+        time.sleep(0.3)  # shutdown underway; accept loop closing
+
+        payload = json.dumps({"queries": ["word3 word4"], "k": 2})
+        conn.request("POST", "/search", body=payload,
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        body = json.loads(resp.read())
+        assert resp.status == 200 and len(body["meta"][0]) == 2
+        conn.close()
+        closer.join(timeout=30)
+        assert not closer.is_alive(), "server_close did not finish drain"

@@ -384,6 +384,11 @@ def make_server(service: RetrievalService, host: str = "127.0.0.1",
         # ~1 s retransmission latency cluster (measured: p95 jumped to
         # ~1.2 s while the in-service wait+device p95 was ~170 ms)
         request_queue_size = 128
+        # graceful drain: server_close() joins in-flight handler threads
+        # (each bounded by one device search) instead of killing them at
+        # interpreter exit — tools/serve.py relies on this for SIGTERM
+        daemon_threads = False
+        block_on_close = True
 
     class Handler(BaseHTTPRequestHandler):
         # quiet the default per-request stderr lines

@@ -109,11 +109,27 @@ def main():
 
     server = make_server(service, host=args.host, port=args.port)
     logger.info("Serving on http://%s:%d", *server.server_address)
+
+    # SIGTERM (load-balancer rotation, VM preemption): stop accepting,
+    # drain in-flight requests, exit 0.  shutdown() must not be called
+    # from the serve_forever thread itself (it blocks on the loop
+    # exiting), so the handler hands it to a helper thread.
+    import signal
+    import threading
+
+    def _graceful(signum, frame):
+        logger.info("SIGTERM: draining in-flight requests and exiting")
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _graceful)
+
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         logger.info("Shutting down")
         server.shutdown()
+    server.server_close()  # joins in-flight handlers (block_on_close)
+    logger.info("Drained; bye")
 
 
 if __name__ == "__main__":
