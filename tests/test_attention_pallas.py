@@ -1,0 +1,158 @@
+"""Fused Pallas attention (ops/attention_pallas.py) vs the XLA oracle.
+
+The kernel's agreement contract: same math as
+``jax.nn.dot_product_attention`` on the fused-QKV layout (f32 logits +
+softmax, probabilities cast to the input dtype for the PV matmul), so f32
+agreement is to float tolerance and bf16 agreement to bf16 rounding.  All
+tests run the kernel in interpreter mode (no TPU in CI).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from textreid_tpu.ops.attention_pallas import (
+    _pick_block_batch,
+    fused_attention,
+    hybrid_attention,
+    xla_attention,
+)
+
+
+def _qkv(key, batch, seq, heads, head_dim, dtype, scale=0.5):
+    return (jax.random.normal(key, (batch, seq, 3 * heads * head_dim))
+            * scale).astype(dtype)
+
+
+class TestKernelAgreement:
+    @pytest.mark.parametrize(
+        "batch,seq,heads,head_dim,causal",
+        [
+            (4, 193, 12, 64, False),   # ViT-B/16 on 384x128 crops
+            (4, 77, 8, 64, True),      # CLIP text tower
+            (5, 33, 4, 16, True),      # odd sizes: unaligned S, small D
+            (1, 8, 1, 8, False),       # degenerate single head
+        ],
+    )
+    def test_f32_matches_xla(self, batch, seq, heads, head_dim, causal):
+        qkv = _qkv(jax.random.PRNGKey(0), batch, seq, heads, head_dim,
+                   jnp.float32)
+        ref = xla_attention(qkv, heads=heads, causal=causal)
+        got = fused_attention(qkv, heads=heads, causal=causal,
+                              interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-6, rtol=2e-6)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_bf16_matches_xla(self, causal):
+        qkv = _qkv(jax.random.PRNGKey(1), 3, 49, 4, 32, jnp.bfloat16)
+        ref = xla_attention(qkv, heads=4, causal=causal).astype(jnp.float32)
+        got = fused_attention(qkv, heads=4, causal=causal,
+                              interpret=True).astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1.5e-2)
+
+    def test_block_batch_not_dividing_batch(self):
+        # batch 5 with requested block 8 -> block 5; with 2 -> 1.
+        qkv = _qkv(jax.random.PRNGKey(2), 5, 19, 2, 16, jnp.float32)
+        ref = xla_attention(qkv, heads=2)
+        for bb in (1, 2, 3, 8):
+            got = fused_attention(qkv, heads=2, block_batch=bb,
+                                  interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-6, rtol=2e-6)
+
+    def test_explicit_scale(self):
+        qkv = _qkv(jax.random.PRNGKey(3), 2, 17, 2, 16, jnp.float32)
+        ref = xla_attention(qkv, heads=2, scale=0.31)
+        got = fused_attention(qkv, heads=2, scale=0.31, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-6, rtol=2e-6)
+
+    def test_rejects_misaligned_qkv(self):
+        qkv = jnp.zeros((2, 8, 100), jnp.float32)
+        with pytest.raises(ValueError, match="not divisible"):
+            fused_attention(qkv, heads=3, interpret=True)
+
+    def test_pick_block_batch(self):
+        assert _pick_block_batch(128, 8) == 8
+        assert _pick_block_batch(5, 8) == 5
+        assert _pick_block_batch(6, 4) == 3
+        assert _pick_block_batch(7, 2) == 1
+        assert _pick_block_batch(1, 16) == 1
+
+
+class TestHybridVJP:
+    def test_grad_matches_xla(self):
+        qkv = _qkv(jax.random.PRNGKey(4), 2, 33, 4, 16, jnp.float32)
+
+        def loss_h(t):
+            return jnp.sum(jnp.sin(hybrid_attention(t, 4, True, None, 8,
+                                                    True)))
+
+        def loss_x(t):
+            return jnp.sum(jnp.sin(xla_attention(t, heads=4, causal=True)))
+
+        g_h = jax.grad(loss_h)(qkv)
+        g_x = jax.grad(loss_x)(qkv)
+        np.testing.assert_allclose(np.asarray(g_h), np.asarray(g_x),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_forward_is_pallas_value(self):
+        qkv = _qkv(jax.random.PRNGKey(5), 2, 21, 2, 16, jnp.float32)
+        out = hybrid_attention(qkv, 2, False, None, 8, True)
+        ref = fused_attention(qkv, heads=2, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+class TestTowerIntegration:
+    """The fused path must be a pure implementation swap: same param tree,
+    same outputs (to kernel tolerance) for both transformer towers."""
+
+    def _vit(self, fused):
+        from textreid_tpu.models.vit import VisionTransformer
+
+        return VisionTransformer(
+            input_resolution=(48, 32), patch_size=16, width=64, layers=2,
+            heads=2, output_dim=32, dtype=jnp.float32,
+            fused_attention=fused, attn_interpret=fused)
+
+    def test_vit_forward_agrees(self):
+        x = jax.random.normal(jax.random.PRNGKey(6), (3, 48, 32, 3))
+        base = self._vit(False)
+        params = base.init(jax.random.PRNGKey(7), x)
+        ref = base.apply(params, x)
+        got = self._vit(True).apply(params, x)  # identical param tree
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_text_transformer_forward_agrees(self):
+        from textreid_tpu.models.text_transformer import TextTransformer
+
+        ids = jnp.array([[5, 9, 2, 0, 0], [3, 1, 4, 1, 5]], jnp.int32)
+        lengths = jnp.array([3, 5], jnp.int32)
+        kw = dict(vocab_size=32, context_length=8, width=32, layers=2,
+                  heads=2, output_dim=16, dtype=jnp.float32)
+        base = TextTransformer(**kw)
+        params = base.init(jax.random.PRNGKey(8), ids, lengths)
+        ref = base.apply(params, ids, lengths)
+        got = TextTransformer(fused_attention=True, attn_interpret=True,
+                              **kw).apply(params, ids, lengths)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_vit_grad_through_fused_block(self):
+        """Training viability: gradients flow through the hybrid VJP in a
+        full tower (backward differentiates the XLA formulation)."""
+        x = jax.random.normal(jax.random.PRNGKey(9), (2, 48, 32, 3))
+        base, fused = self._vit(False), self._vit(True)
+        params = base.init(jax.random.PRNGKey(10), x)
+
+        g_ref = jax.grad(lambda p: jnp.sum(base.apply(p, x) ** 2))(params)
+        g_got = jax.grad(lambda p: jnp.sum(fused.apply(p, x) ** 2))(params)
+        flat_r = jax.tree.leaves(g_ref)
+        flat_g = jax.tree.leaves(g_got)
+        for r, g in zip(flat_r, flat_g):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       atol=1e-4, rtol=1e-4)

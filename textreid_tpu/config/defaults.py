@@ -176,6 +176,13 @@ _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # (bench.py --stages) and avoids the [T,B,H] per-step HBM writes, which
 # may matter under HBM contention at much larger batches.
 _C.TPU.GRU_PALLAS = False
+# Transformer towers (ViT visual, CLIP text) compute attention with the
+# fused Pallas kernel (ops/attention_pallas.py): the [S, S] score tile
+# stays in VMEM instead of XLA streaming [B, H, S, S] logits through HBM,
+# and the QKV split/head-reshape passes fold into BlockSpec index maps.
+# Differentiable (custom VJP; backward recomputes through the XLA
+# formulation).  TPU backend only; ignored elsewhere.
+_C.TPU.FUSED_ATTENTION = False
 # Ship uint8 pixels and fuse /255 -> normalize -> random-erase fill into the
 # jitted device step (4x less host->device traffic than f32). False restores
 # the reference's all-host float pipeline.

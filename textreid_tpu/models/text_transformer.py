@@ -58,6 +58,9 @@ class TextTransformer(nn.Module):
     heads: int = 8
     output_dim: int = 512
     dtype: jnp.dtype = jnp.float32
+    # Fused Pallas attention (see models/vit.py:TransformerBlock).
+    fused_attention: bool = False
+    attn_interpret: bool = False
 
     @property
     def out_channels(self) -> int:
@@ -101,6 +104,8 @@ class TextTransformer(nn.Module):
         for i in range(self.layers):
             x = TransformerBlock(
                 self.width, self.heads, self.dtype, causal=True,
+                fused_attention=self.fused_attention,
+                attn_interpret=self.attn_interpret,
                 name=f"block_{i}",
             )(x)
 
@@ -146,9 +151,12 @@ def build_text_transformer(cfg, dtype=jnp.float32) -> TextTransformer:
     else:
         spec = dict(width=t.WIDTH, layers=t.LAYERS, heads=t.HEADS,
                     output_dim=t.OUTPUT_DIM)
+    from .vit import fused_attention_from_cfg
+
     return TextTransformer(
         vocab_size=t.VOCAB_SIZE,
         context_length=t.CONTEXT_LENGTH,
         dtype=dtype,
+        fused_attention=fused_attention_from_cfg(cfg),
         **spec,
     )

@@ -33,6 +33,14 @@ class TransformerBlock(nn.Module):
     # encoder (models/text_transformer.py); the visual towers attend
     # bidirectionally.
     causal: bool = False
+    # Fused Pallas attention (ops/attention_pallas.py): the [S, S] score
+    # tile stays in VMEM instead of streaming [B, H, S, S] logits through
+    # HBM, and the QKV split/head-reshape passes vanish into BlockSpec
+    # index maps.  Differentiable (hybrid custom VJP: XLA recompute
+    # backward).  Param tree is identical either way.
+    fused_attention: bool = False
+    # Run the Pallas kernel in interpreter mode (CPU tests only).
+    attn_interpret: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -40,15 +48,21 @@ class TransformerBlock(nn.Module):
         batch, tokens, width = h.shape
         head_dim = width // self.heads
         qkv = nn.Dense(3 * width, dtype=self.dtype, name="qkv")(h)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        if self.fused_attention:
+            from ..ops.attention_pallas import hybrid_attention
 
-        def heads_split(t):
-            return t.reshape(batch, tokens, self.heads, head_dim)
+            attn = hybrid_attention(qkv, self.heads, self.causal, None,
+                                    8, self.attn_interpret)
+        else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        attn = jax.nn.dot_product_attention(
-            heads_split(q), heads_split(k), heads_split(v),
-            is_causal=self.causal,
-        ).reshape(batch, tokens, width)
+            def heads_split(t):
+                return t.reshape(batch, tokens, self.heads, head_dim)
+
+            attn = jax.nn.dot_product_attention(
+                heads_split(q), heads_split(k), heads_split(v),
+                is_causal=self.causal,
+            ).reshape(batch, tokens, width)
         x = x + nn.Dense(width, dtype=self.dtype, name="out_proj")(attn)
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
@@ -66,6 +80,8 @@ class VisionTransformer(nn.Module):
     heads: int = 12
     output_dim: int = 512
     dtype: jnp.dtype = jnp.float32
+    fused_attention: bool = False
+    attn_interpret: bool = False
 
     @property
     def out_channels(self) -> int:
@@ -117,7 +133,9 @@ class VisionTransformer(nn.Module):
 
         for i in range(self.layers):
             x = TransformerBlock(
-                self.width, self.heads, self.dtype, name=f"block_{i}"
+                self.width, self.heads, self.dtype,
+                fused_attention=self.fused_attention,
+                attn_interpret=self.attn_interpret, name=f"block_{i}"
             )(x)
 
         cls_out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(
@@ -141,6 +159,14 @@ VIT_SPECS = {
 }
 
 
+def fused_attention_from_cfg(cfg) -> bool:
+    """``TPU.FUSED_ATTENTION`` gates the Pallas attention kernel; it only
+    applies on the TPU backend (no compiled CPU lowering — CPU tests use
+    the modules' ``attn_interpret`` escape hatch directly)."""
+    return (bool(getattr(cfg.TPU, "FUSED_ATTENTION", False))
+            and jax.default_backend() == "tpu")
+
+
 def build_vit(cfg, dtype=jnp.float32) -> VisionTransformer:
     name = cfg.MODEL.VISUAL_MODEL
     if name in VIT_SPECS:
@@ -155,5 +181,5 @@ def build_vit(cfg, dtype=jnp.float32) -> VisionTransformer:
         )
     return VisionTransformer(
         input_resolution=(cfg.INPUT.HEIGHT, cfg.INPUT.WIDTH),
-        dtype=dtype, **spec,
+        dtype=dtype, fused_attention=fused_attention_from_cfg(cfg), **spec,
     )

