@@ -411,6 +411,29 @@ def bench_stages():
 
     stage("vit_fwd_int8", vit_int8, (vitvars, pixels), iters=50)
 
+    # fused Pallas attention (ops/attention_pallas.py): identical param
+    # tree, [S,S] score tiles kept in VMEM, QKV head slicing folded into
+    # BlockSpec index maps.  TPU-only (no compiled CPU lowering).
+    if jax.default_backend() == "tpu":
+        vit_fused = VisionTransformer(
+            input_resolution=(384, 128), patch_size=16, width=768,
+            layers=12, heads=12, output_dim=512, dtype=jnp.bfloat16,
+            fused_attention=True)
+        stage("vit_fwd_fused_attn", lambda v, x: vit_fused.apply(v, x),
+              (vitvars, pixels), iters=50)
+        a = np.asarray(jax.jit(vit.apply)(vitvars, pixels), np.float32)
+        b = np.asarray(jax.jit(vit_fused.apply)(vitvars, pixels),
+                       np.float32)
+        cos = (a * b).sum(1) / (np.linalg.norm(a, axis=1)
+                                * np.linalg.norm(b, axis=1) + 1e-12)
+        report["vit_fused_attn_min_cosine"] = float(cos.min())
+        report["vit_fused_attn_speedup"] = round(
+            report["vit_fwd_ms"] / report["vit_fwd_fused_attn_ms"], 3)
+        log(f"vit fused attention: {report['vit_fwd_fused_attn_ms']:.2f} ms "
+            f"vs {report['vit_fwd_ms']:.2f} ms "
+            f"({report['vit_fused_attn_speedup']}x), "
+            f"min cosine {cos.min():.5f}")
+
     # attention pool alone at the RN50 grid ([B, 12, 4, 2048])
     pool = AttentionPool2d(spacial_dim=(12, 4), embed_dim=2048, num_heads=32,
                            output_dim=1024, dtype=jnp.bfloat16)
@@ -452,6 +475,14 @@ def bench_stages():
     jax.block_until_ready(tvars)
     stage("text_transformer_fwd", lambda v, i, l: txf.apply(v, i, l),
           (tvars, ids, lens), iters=50)
+    if jax.default_backend() == "tpu":
+        txf_fused = TextTransformer(vocab_size=49408, context_length=TOKENS,
+                                    width=512, layers=12, heads=8,
+                                    output_dim=512, dtype=jnp.bfloat16,
+                                    fused_attention=True)
+        stage("text_transformer_fwd_fused_attn",
+              lambda v, i, l: txf_fused.apply(v, i, l),
+              (tvars, ids, lens), iters=50)
 
     # loss block at flagship shapes
     v = jnp.asarray(rng.rand(BATCH, 256).astype(np.float32))
