@@ -421,6 +421,10 @@ def bench_stages():
             fused_attention=True)
         stage("vit_fwd_fused_attn", lambda v, x: vit_fused.apply(v, x),
               (vitvars, pixels), iters=50)
+        # full-tower agreement (12 layers of kernel drift compound, so the
+        # per-layer test tolerance alone is not the accuracy claim); costs
+        # two extra single-apply compiles — accepted, --stages is a manual
+        # bench mode
         a = np.asarray(jax.jit(vit.apply)(vitvars, pixels), np.float32)
         b = np.asarray(jax.jit(vit_fused.apply)(vitvars, pixels),
                        np.float32)

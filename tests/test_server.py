@@ -451,7 +451,17 @@ class TestGracefulShutdown:
         # says it must still be answered before server_close returns.
         conn = http.client.HTTPConnection(host, port, timeout=60)
         conn.connect()
-        time.sleep(0.3)  # let the accept + handler-thread spawn land
+        # wait until the connection is ACCEPTED (handler thread spawned,
+        # tracked in the block_on_close registry) — a fixed sleep races
+        # the accept loop on loaded CI and shutdown would reset the
+        # still-backlogged connection
+        # (before the first accept, _threads is a non-iterable _NoThreads
+        # sentinel; it becomes a list subclass once a handler spawns)
+        deadline = time.time() + 30
+        while not (isinstance(getattr(srv, "_threads", None), list)
+                   and srv._threads):
+            assert time.time() < deadline, "accept never happened"
+            time.sleep(0.02)
 
         closer = threading.Thread(
             target=lambda: (srv.shutdown(), srv.server_close()))

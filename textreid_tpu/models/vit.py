@@ -45,8 +45,7 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
-        batch, tokens, width = h.shape
-        head_dim = width // self.heads
+        width = h.shape[-1]
         qkv = nn.Dense(3 * width, dtype=self.dtype, name="qkv")(h)
         if self.fused_attention:
             from ..ops.attention_pallas import hybrid_attention
@@ -54,15 +53,11 @@ class TransformerBlock(nn.Module):
             attn = hybrid_attention(qkv, self.heads, self.causal, None,
                                     8, self.attn_interpret)
         else:
-            q, k, v = jnp.split(qkv, 3, axis=-1)
+            # same contract as the kernel's agreement oracle — one
+            # definition of the math, two lowerings
+            from ..ops.attention_pallas import xla_attention
 
-            def heads_split(t):
-                return t.reshape(batch, tokens, self.heads, head_dim)
-
-            attn = jax.nn.dot_product_attention(
-                heads_split(q), heads_split(k), heads_split(v),
-                is_causal=self.causal,
-            ).reshape(batch, tokens, width)
+            attn = xla_attention(qkv, heads=self.heads, causal=self.causal)
         x = x + nn.Dense(width, dtype=self.dtype, name="out_proj")(attn)
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)

@@ -391,6 +391,14 @@ def make_server(service: RetrievalService, host: str = "127.0.0.1",
         block_on_close = True
 
     class Handler(BaseHTTPRequestHandler):
+        # Bound every socket read: with block_on_close, server_close()
+        # joins handler threads, and an idle client that never completes
+        # a request line (stalled sender, port scanner, LB probe) would
+        # otherwise block the SIGTERM drain forever.  30 s caps the drain
+        # at one read-timeout; in-flight device searches are unaffected
+        # (the timeout applies to socket reads, not compute).
+        timeout = 30
+
         # quiet the default per-request stderr lines
         def log_message(self, fmt, *args):  # noqa: D102
             pass
