@@ -15,6 +15,7 @@ import pytest
 from textreid_tpu.ops.attention_pallas import (
     _pick_block_batch,
     fused_attention,
+    fused_attention_bwd,
     hybrid_attention,
     xla_attention,
 )
@@ -84,12 +85,13 @@ class TestKernelAgreement:
 
 
 class TestHybridVJP:
-    def test_grad_matches_xla(self):
+    @pytest.mark.parametrize("pallas_bwd", [False, True])
+    def test_grad_matches_xla(self, pallas_bwd):
         qkv = _qkv(jax.random.PRNGKey(4), 2, 33, 4, 16, jnp.float32)
 
         def loss_h(t):
             return jnp.sum(jnp.sin(hybrid_attention(t, 4, True, None, 8,
-                                                    True)))
+                                                    True, pallas_bwd)))
 
         def loss_x(t):
             return jnp.sum(jnp.sin(xla_attention(t, heads=4, causal=True)))
@@ -98,6 +100,39 @@ class TestHybridVJP:
         g_x = jax.grad(loss_x)(qkv)
         np.testing.assert_allclose(np.asarray(g_h), np.asarray(g_x),
                                    atol=1e-5, rtol=1e-5)
+
+    @pytest.mark.parametrize(
+        "batch,seq,heads,head_dim,causal",
+        [
+            (3, 49, 4, 32, False),
+            (2, 77, 8, 64, True),     # CLIP text tower
+            (5, 33, 4, 16, True),     # odd: block_batch won't divide
+        ],
+    )
+    def test_bwd_kernel_matches_xla_vjp(self, batch, seq, heads, head_dim,
+                                        causal):
+        qkv = _qkv(jax.random.PRNGKey(11), batch, seq, heads, head_dim,
+                   jnp.float32)
+        g = jax.random.normal(jax.random.PRNGKey(12),
+                              (batch, seq, heads * head_dim), jnp.float32)
+        _, vjp = jax.vjp(
+            lambda t: xla_attention(t, heads=heads, causal=causal), qkv)
+        (ref,) = vjp(g)
+        got = fused_attention_bwd(qkv, g, heads=heads, causal=causal,
+                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_bwd_kernel_bf16(self):
+        qkv = _qkv(jax.random.PRNGKey(13), 2, 49, 4, 32, jnp.bfloat16)
+        g = (jax.random.normal(jax.random.PRNGKey(14), (2, 49, 128))
+             .astype(jnp.bfloat16))
+        _, vjp = jax.vjp(
+            lambda t: xla_attention(t, heads=4, causal=False), qkv)
+        (ref,) = vjp(g)
+        got = fused_attention_bwd(qkv, g, heads=4, interpret=True)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32), atol=3e-2)
 
     def test_forward_is_pallas_value(self):
         qkv = _qkv(jax.random.PRNGKey(5), 2, 21, 2, 16, jnp.float32)

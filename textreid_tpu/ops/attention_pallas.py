@@ -149,6 +149,109 @@ def fused_attention(qkv, *, heads: int, causal: bool = False,
     return out
 
 
+def _attention_bwd_kernel(qkv_q_ref, qkv_k_ref, qkv_v_ref, g_ref,
+                          dq_ref, dk_ref, dv_ref,
+                          *, scale: float, causal: bool):
+    """Backward for one [Bt, S, D] head slab, entirely in VMEM.
+
+    Recomputes the (cheap, S<=256) forward scores instead of saving the
+    [B, H, S, S] probabilities to HBM — the same memory argument as the
+    forward kernel, applied to the residuals.  Standard softmax VJP:
+
+        dv = p^T g
+        dp = g v^T
+        ds = p * (dp - rowsum(dp * p)) * scale
+        dq = ds k,   dk = ds^T q
+    """
+    q = qkv_q_ref[:]
+    k = qkv_k_ref[:]
+    v = qkv_v_ref[:]
+    g = g_ref[:]
+    seq = q.shape[1]
+
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (seq, seq), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (seq, seq), 1)
+        s = jnp.where((col <= row)[None], s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)      # [Bt, Sq, Sk] f32
+
+    pc = p.astype(v.dtype)
+    dv_ref[:] = jax.lax.dot_general(                 # contract Sq
+        pc, g, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+
+    dp = jax.lax.dot_general(                        # contract D
+        g, v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # [Bt, Sq, Sk]
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+    # masked columns have p=0 -> ds=0: no explicit causal re-mask needed
+    dsc = ds.astype(q.dtype)
+    dq_ref[:] = jax.lax.dot_general(                 # contract Sk
+        dsc, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[:] = jax.lax.dot_general(                 # contract Sq
+        dsc, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "causal", "scale", "block_batch", "interpret"),
+)
+def fused_attention_bwd(qkv, g, *, heads: int, causal: bool = False,
+                        scale: float | None = None, block_batch: int = 4,
+                        interpret: bool = False):
+    """d(attention)/d(qkv) as a Pallas kernel: qkv [B, S, 3W], upstream
+    cotangent g [B, S, W] -> dqkv [B, S, 3W].  Like the forward, the
+    [S, S] score/probability/ds tiles never touch HBM; three f32 [S, S]
+    intermediates live per program, so the default sample block is
+    smaller than the forward's."""
+    batch, seq, three_w = qkv.shape
+    width = three_w // 3
+    head_dim = width // heads
+    if scale is None:
+        scale = float(head_dim) ** -0.5
+
+    bt = _pick_block_batch(batch, block_batch)
+    grid = (batch // bt, heads)
+
+    def q_map(b, h):
+        return (b, 0, h)
+
+    def k_map(b, h):
+        return (b, 0, heads + h)
+
+    def v_map(b, h):
+        return (b, 0, 2 * heads + h)
+
+    head_block = (bt, seq, head_dim)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attention_bwd_kernel, scale=scale, causal=causal),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(head_block, q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(head_block, k_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(head_block, v_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(head_block, q_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(head_block, q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(head_block, q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(head_block, q_map, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((batch, seq, width), qkv.dtype)
+                   for _ in range(3)],
+        interpret=interpret,
+    )(qkv, qkv, qkv, g)
+    # one concat pass rebuilds the fused-QKV cotangent layout
+    return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
 def xla_attention(qkv, *, heads: int, causal: bool = False,
                   scale: float | None = None):
     """Reference formulation (jax.nn.dot_product_attention) on the same
@@ -170,24 +273,34 @@ def xla_attention(qkv, *, heads: int, causal: bool = False,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(1, 2, 3, 4, 5))
+                   nondiff_argnums=(1, 2, 3, 4, 5, 6))
 def hybrid_attention(qkv, heads: int, causal: bool = False,
                      scale: float | None = None, block_batch: int = 8,
-                     interpret: bool = False):
-    """Pallas forward, XLA backward (recompute) — differentiable fused
-    attention usable in train and eval alike."""
+                     interpret: bool = False, pallas_bwd: bool = True):
+    """Differentiable fused attention, usable in train and eval alike.
+
+    Forward is always the Pallas kernel.  Backward is the Pallas backward
+    kernel by default (``fused_attention_bwd`` — score tiles recomputed in
+    VMEM, no [B, H, S, S] HBM traffic in the grad either); ``pallas_bwd=
+    False`` falls back to differentiating the XLA formulation (recompute),
+    the conservative path the GRU hybrid uses."""
     return fused_attention(qkv, heads=heads, causal=causal, scale=scale,
                            block_batch=block_batch, interpret=interpret)
 
 
-def _hybrid_fwd(qkv, heads, causal, scale, block_batch, interpret):
+def _hybrid_fwd(qkv, heads, causal, scale, block_batch, interpret,
+                pallas_bwd):
     out = fused_attention(qkv, heads=heads, causal=causal, scale=scale,
                           block_batch=block_batch, interpret=interpret)
     return out, qkv
 
 
-def _hybrid_bwd(heads, causal, scale, block_batch, interpret, qkv, g):
-    del block_batch, interpret
+def _hybrid_bwd(heads, causal, scale, block_batch, interpret, pallas_bwd,
+                qkv, g):
+    if pallas_bwd:
+        return (fused_attention_bwd(qkv, g, heads=heads, causal=causal,
+                                    scale=scale, interpret=interpret),)
+    del block_batch
     _, vjp = jax.vjp(
         lambda t: xla_attention(t, heads=heads, causal=causal, scale=scale),
         qkv)
