@@ -438,6 +438,19 @@ def bench_stages():
             f"({report['vit_fused_attn_speedup']}x), "
             f"min cosine {cos.min():.5f}")
 
+        # composed: int8 MXU for the block matmuls + Pallas attention for
+        # the HBM-bound score tensor (independent levers, same tower)
+        def vit_int8_fused(v, x):
+            import flax.linen as nn
+
+            from textreid_tpu.models.quant_tower import int8_dense_interceptor
+
+            with nn.intercept_methods(int8_dense_interceptor()):
+                return vit_fused.apply(v, x)
+
+        stage("vit_fwd_int8_fused_attn", vit_int8_fused, (vitvars, pixels),
+              iters=50)
+
     # attention pool alone at the RN50 grid ([B, 12, 4, 2048])
     pool = AttentionPool2d(spacial_dim=(12, 4), embed_dim=2048, num_heads=32,
                            output_dim=1024, dtype=jnp.bfloat16)
