@@ -141,6 +141,52 @@ class TestHybridVJP:
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+class TestMeshPartitioning:
+    """The kernel is mesh-aware (custom_partitioning): a batch-sharded jit
+    runs one kernel per device on its local shard — no all-gather of the
+    activations around the custom call (GSPMD's default for opaque calls,
+    observed as 15 all-gathers in the 8-way HLO before the rule)."""
+
+    def _mesh(self):
+        from jax.sharding import Mesh
+
+        return Mesh(np.array(jax.devices()), ("data",))
+
+    def test_sharded_fwd_no_allgather_and_exact(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self._mesh()
+        ns = NamedSharding(mesh, P("data"))
+        qkv = _qkv(jax.random.PRNGKey(20), 16, 33, 4, 16, jnp.float32)
+        f = jax.jit(lambda t: fused_attention(t, heads=4, interpret=True),
+                    in_shardings=ns, out_shardings=ns)
+        sharded = jax.device_put(qkv, ns)
+        hlo = f.lower(sharded).compile().as_text()
+        assert hlo.count("all-gather") == 0
+        np.testing.assert_allclose(
+            np.asarray(f(sharded)),
+            np.asarray(xla_attention(qkv, heads=4)), atol=2e-6, rtol=2e-6)
+
+    def test_sharded_bwd_no_allgather_and_exact(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self._mesh()
+        ns = NamedSharding(mesh, P("data"))
+        qkv = _qkv(jax.random.PRNGKey(21), 16, 33, 4, 16, jnp.float32)
+        g = jax.random.normal(jax.random.PRNGKey(22), (16, 33, 64),
+                              jnp.float32)
+        f = jax.jit(
+            lambda t, gg: fused_attention_bwd(t, gg, heads=4,
+                                              interpret=True),
+            in_shardings=(ns, ns), out_shardings=ns)
+        a, b = jax.device_put(qkv, ns), jax.device_put(g, ns)
+        hlo = f.lower(a, b).compile().as_text()
+        assert hlo.count("all-gather") == 0
+        ref = jax.vjp(lambda t: xla_attention(t, heads=4), qkv)[1](g)[0]
+        np.testing.assert_allclose(np.asarray(f(a, b)), np.asarray(ref),
+                                   atol=2e-6, rtol=2e-6)
+
+
 class TestTowerIntegration:
     """The fused path must be a pure implementation swap: same param tree,
     same outputs (to kernel tolerance) for both transformer towers."""

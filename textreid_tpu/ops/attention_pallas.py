@@ -93,19 +93,11 @@ def _attention_kernel(qkv_q_ref, qkv_k_ref, qkv_v_ref, out_ref,
     out_ref[:] = (o / denom).astype(out_ref.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("heads", "causal", "scale", "block_batch", "interpret"),
-)
-def fused_attention(qkv, *, heads: int, causal: bool = False,
-                    scale: float | None = None, block_batch: int = 8,
-                    interpret: bool = False):
-    """Multi-head attention over a fused QKV projection.
-
-    qkv: [B, S, 3*W] — the output of the QKV Dense layer, laid out as
-    CLIP's ``[q | k | v]`` concatenation.  Returns the attention output
-    merged back to [B, S, W] (head order preserved), ready for out_proj.
-    """
+def _fused_attention_local(qkv, *, heads: int, causal: bool = False,
+                           scale: float | None = None, block_batch: int = 8,
+                           interpret: bool = False):
+    """The pallas_call itself, on device-local shapes (see
+    ``fused_attention`` for the public, mesh-aware entry point)."""
     batch, seq, three_w = qkv.shape
     if three_w % (3 * heads):
         raise ValueError(
@@ -147,6 +139,75 @@ def fused_attention(qkv, *, heads: int, causal: bool = False,
         interpret=interpret,
     )(qkv, qkv, qkv)
     return out
+
+
+def _batch_only(mesh, arg_shapes):
+    """NamedSharding keeping only the batch-dim component of the first
+    operand's sharding (attention is per-sample: the kernel is correct on
+    any batch shard, never on a seq/width shard)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    spec = getattr(arg_shapes[0].sharding, "spec", None)
+    batch_axis = spec[0] if spec is not None and len(spec) else None
+    return NamedSharding(mesh, PartitionSpec(batch_axis, None, None))
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_fwd(heads, causal, scale, block_batch, interpret):
+    """A ``custom_partitioning``-wrapped forward for this config: under a
+    sharded jit, GSPMD/shardy runs the kernel on each device's local batch
+    shard instead of all-gathering the activations around an opaque
+    custom call (measured: 15 all-gathers in the 8-way sharded HLO before
+    this wrapper, zero after)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def impl(qkv):
+        return _fused_attention_local(
+            qkv, heads=heads, causal=causal, scale=scale,
+            block_batch=block_batch, interpret=interpret)
+
+    cp = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        ns = _batch_only(mesh, arg_shapes)
+        return mesh, impl, ns, (ns,)
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        return _batch_only(mesh, arg_shapes)
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding,
+        # shardy rule: only the batch factor is shared between operand and
+        # result, so only batch shardings propagate through the op
+        sharding_rule="b s w -> b t u",
+    )
+    return cp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "causal", "scale", "block_batch", "interpret"),
+)
+def fused_attention(qkv, *, heads: int, causal: bool = False,
+                    scale: float | None = None, block_batch: int = 8,
+                    interpret: bool = False):
+    """Multi-head attention over a fused QKV projection.
+
+    qkv: [B, S, 3*W] — the output of the QKV Dense layer, laid out as
+    CLIP's ``[q | k | v]`` concatenation.  Returns the attention output
+    merged back to [B, S, W] (head order preserved), ready for out_proj.
+
+    Mesh-aware: under a batch-sharded jit the kernel partitions along the
+    batch axis (each device runs its own shard); seq/width shardings are
+    reshard-ed to replicated by the partitioning rule.
+    """
+    if scale is None:
+        # resolve before the lru_cache key so scale=None and the explicit
+        # default hit the same partitioned instance
+        scale = float((qkv.shape[-1] // 3) // heads) ** -0.5
+    return _partitioned_fwd(heads, causal, scale, block_batch,
+                            interpret)(qkv)
 
 
 def _attention_bwd_kernel(qkv_q_ref, qkv_k_ref, qkv_v_ref, g_ref,
@@ -199,18 +260,10 @@ def _attention_bwd_kernel(qkv_q_ref, qkv_k_ref, qkv_v_ref, g_ref,
         preferred_element_type=jnp.float32).astype(dk_ref.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("heads", "causal", "scale", "block_batch", "interpret"),
-)
-def fused_attention_bwd(qkv, g, *, heads: int, causal: bool = False,
-                        scale: float | None = None, block_batch: int = 4,
-                        interpret: bool = False):
-    """d(attention)/d(qkv) as a Pallas kernel: qkv [B, S, 3W], upstream
-    cotangent g [B, S, W] -> dqkv [B, S, 3W].  Like the forward, the
-    [S, S] score/probability/ds tiles never touch HBM; three f32 [S, S]
-    intermediates live per program, so the default sample block is
-    smaller than the forward's."""
+def _fused_attention_bwd_local(qkv, g, *, heads: int, causal: bool = False,
+                               scale: float | None = None,
+                               block_batch: int = 4,
+                               interpret: bool = False):
     batch, seq, three_w = qkv.shape
     width = three_w // 3
     head_dim = width // heads
@@ -250,6 +303,50 @@ def fused_attention_bwd(qkv, g, *, heads: int, causal: bool = False,
     )(qkv, qkv, qkv, g)
     # one concat pass rebuilds the fused-QKV cotangent layout
     return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_bwd(heads, causal, scale, block_batch, interpret):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def impl(qkv, g):
+        return _fused_attention_bwd_local(
+            qkv, g, heads=heads, causal=causal, scale=scale,
+            block_batch=block_batch, interpret=interpret)
+
+    cp = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        ns = _batch_only(mesh, arg_shapes)
+        return mesh, impl, ns, (ns, ns)
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        return _batch_only(mesh, arg_shapes)
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding,
+        sharding_rule="b s w, b t u -> b p q",
+    )
+    return cp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "causal", "scale", "block_batch", "interpret"),
+)
+def fused_attention_bwd(qkv, g, *, heads: int, causal: bool = False,
+                        scale: float | None = None, block_batch: int = 4,
+                        interpret: bool = False):
+    """d(attention)/d(qkv) as a Pallas kernel: qkv [B, S, 3W], upstream
+    cotangent g [B, S, W] -> dqkv [B, S, 3W].  Like the forward, the
+    [S, S] score/probability/ds tiles never touch HBM; three f32 [S, S]
+    intermediates live per program, so the default sample block is
+    smaller than the forward's.  Mesh-aware like the forward."""
+    if scale is None:
+        scale = float((qkv.shape[-1] // 3) // heads) ** -0.5
+    return _partitioned_bwd(heads, causal, scale, block_batch,
+                            interpret)(qkv, g)
 
 
 def xla_attention(qkv, *, heads: int, causal: bool = False,
