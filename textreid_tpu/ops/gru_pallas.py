@@ -32,6 +32,13 @@ path — the scan is latency-bound and the text tower is a rounding error
 next to the conv trunk, so the XLA scan stays the DEFAULT for simplicity
 (``TPU.GRU_PALLAS`` opts into this kernel). The kernel's remaining edge
 is traffic, not latency: no [T, B, H] per-step HBM writes.
+
+Multi-chip note: these kernels carry no partitioning rule, so under a
+batch-sharded jit GSPMD replicates them behind all-gathers (correct,
+slower).  That is acceptable for an opt-in latency-wash kernel; keep the
+default XLA scan for sharded training.  The fused-attention kernels
+(`ops/attention_pallas.py`) ARE mesh-native via custom_partitioning —
+apply the same pattern here first if this kernel ever becomes a default.
 """
 
 from __future__ import annotations
