@@ -83,6 +83,15 @@ class TestKernelAgreement:
         assert _pick_block_batch(7, 2) == 1
         assert _pick_block_batch(1, 16) == 1
 
+    def test_block_batch_vmem_clamp(self):
+        # S=512: 2 x bt x 512^2 x 4B tiles must fit 8 MiB -> bt <= 4
+        assert _pick_block_batch(128, 8, seq=512, score_tiles=2) == 4
+        # short sequences keep the requested block
+        assert _pick_block_batch(128, 8, seq=193, score_tiles=2) == 8
+        # beyond the single-sample budget: explicit rejection
+        with pytest.raises(ValueError, match="online-softmax"):
+            _pick_block_batch(128, 8, seq=4096, score_tiles=2)
+
 
 class TestHybridVJP:
     @pytest.mark.parametrize("pallas_bwd", [False, True])

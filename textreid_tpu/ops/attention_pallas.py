@@ -48,9 +48,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_block_batch(batch: int, requested: int) -> int:
+def _pick_block_batch(batch: int, requested: int, seq: int = 0,
+                      score_tiles: int = 2,
+                      vmem_budget: int = 8 * 1024 * 1024) -> int:
     """Largest divisor of ``batch`` not exceeding ``requested`` (so grid
-    blocks tile the batch exactly and no out-of-bounds rows are read)."""
+    blocks tile the batch exactly and no out-of-bounds rows are read),
+    additionally clamped so ``score_tiles`` live f32 [bt, seq, seq] tiles
+    fit the VMEM budget — the kernel is a short-sequence design and the
+    clamp keeps long-ish sequences (ViT-L/14 at 224x224: S=257) working
+    instead of spilling.  Sequences whose single-row tile cannot fit are
+    rejected outright: that regime needs an online-softmax (flash)
+    kernel, not this one."""
+    if seq:
+        per_sample = score_tiles * seq * seq * 4
+        if per_sample > vmem_budget:
+            raise ValueError(
+                f"sequence length {seq} needs {per_sample/2**20:.0f} MiB of "
+                f"VMEM score tile per sample — beyond this short-sequence "
+                f"kernel's regime (S <~ 1000). Use the XLA path "
+                f"(TPU.FUSED_ATTENTION False) or an online-softmax kernel.")
+        requested = min(requested, max(1, vmem_budget // per_sample))
     bt = max(1, min(requested, batch))
     while batch % bt:
         bt -= 1
@@ -108,7 +125,7 @@ def _fused_attention_local(qkv, *, heads: int, causal: bool = False,
     if scale is None:
         scale = float(head_dim) ** -0.5
 
-    bt = _pick_block_batch(batch, block_batch)
+    bt = _pick_block_batch(batch, block_batch, seq=seq, score_tiles=2)
     grid = (batch // bt, heads)
 
     # Index maps are in units of BLOCKS of the spec's block_shape: with a
@@ -270,7 +287,7 @@ def _fused_attention_bwd_local(qkv, g, *, heads: int, causal: bool = False,
     if scale is None:
         scale = float(head_dim) ** -0.5
 
-    bt = _pick_block_batch(batch, block_batch)
+    bt = _pick_block_batch(batch, block_batch, seq=seq, score_tiles=4)
     grid = (batch // bt, heads)
 
     def q_map(b, h):
