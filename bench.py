@@ -220,6 +220,18 @@ def bench_train_step():
     cfg.MODEL.MOCO.K = 2048
     cfg.INPUT.HEIGHT, cfg.INPUT.WIDTH = 384, 128
 
+    # BENCH_TRAIN_MODEL=vit swaps in the ViT-B/16 stretch backbone;
+    # BENCH_TRAIN_FUSED_ATTN=1 additionally turns on the Pallas attention
+    # kernels (fwd + bwd through the hybrid VJP) — together they measure
+    # the fused-attention win on a REAL optimization step, not just the
+    # standalone forward stage.
+    variant = os.environ.get("BENCH_TRAIN_MODEL", "")
+    fused = os.environ.get("BENCH_TRAIN_FUSED_ATTN", "") == "1"
+    if variant == "vit":
+        cfg.MODEL.VISUAL_MODEL = "clip_vit_b16"
+    if fused:
+        cfg.TPU.FUSED_ATTENTION = True
+
     bs = int(os.environ.get("BENCH_TRAIN_BS", BATCH))
     assert cfg.MODEL.MOCO.K % bs == 0, (cfg.MODEL.MOCO.K, bs)
     model = build_model(cfg, dtype=jnp.bfloat16)
@@ -258,8 +270,9 @@ def bench_train_step():
     dt = time.time() - t0
     step_s = dt / n
     log(f"train step: {step_s * 1000:.0f} ms ({bs / step_s:.0f} img/s)")
+    tag = (f"_{variant}" if variant else "") + ("_fusedattn" if fused else "")
     result = {
-        "metric": f"moco_train_step_ms_bs{bs}",
+        "metric": f"moco_train_step_ms_bs{bs}{tag}",
         "value": round(step_s * 1000, 2),
         "unit": "ms",
         "vs_baseline": None,
@@ -269,9 +282,9 @@ def bench_train_step():
         "peak_bf16_flops": peak_flops(),
     }
     # machine artifact for the judge (VERDICT round-1 item 4); non-flagship
-    # batch sizes get their own file so the driver artifact stays bs128
-    name = ("BENCH_TRAIN.json" if bs == BATCH
-            else f"BENCH_TRAIN_BS{bs}.json")
+    # variants get their own file so the driver artifact stays bs128 RN50
+    name = ("BENCH_TRAIN.json" if bs == BATCH and not tag
+            else f"BENCH_TRAIN_BS{bs}{tag.upper()}.json")
     with open(os.path.join(OUT_DIR, name), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
