@@ -232,6 +232,26 @@ class TestTowerIntegration:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5)
 
+    def test_remat_composes_with_hybrid_vjp(self):
+        """TPU.REMAT wraps the visual tower in jax.checkpoint; the fused
+        path must survive rematerialization (pallas forward recomputed,
+        custom backward still used)."""
+        x = jax.random.normal(jax.random.PRNGKey(15), (2, 48, 32, 3))
+        base, fused = self._vit(False), self._vit(True)
+        params = base.init(jax.random.PRNGKey(16), x)
+
+        def loss(apply_fn):
+            def f(p):
+                out = jax.checkpoint(lambda q: apply_fn(q, x))(p)
+                return jnp.sum(out ** 2)
+            return f
+
+        g_ref = jax.grad(loss(base.apply))(params)
+        g_got = jax.grad(loss(fused.apply))(params)
+        for r, g in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       atol=1e-4, rtol=1e-4)
+
     def test_vit_grad_through_fused_block(self):
         """Training viability: gradients flow through the hybrid VJP in a
         full tower (backward differentiates the XLA formulation)."""
