@@ -27,6 +27,7 @@ def _qkv(key, batch, seq, heads, head_dim, dtype, scale=0.5):
 
 
 class TestKernelAgreement:
+    @pytest.mark.parametrize("layout", ["fused", "split"])
     @pytest.mark.parametrize(
         "batch,seq,heads,head_dim,causal",
         [
@@ -36,12 +37,13 @@ class TestKernelAgreement:
             (1, 8, 1, 8, False),       # degenerate single head
         ],
     )
-    def test_f32_matches_xla(self, batch, seq, heads, head_dim, causal):
+    def test_f32_matches_xla(self, batch, seq, heads, head_dim, causal,
+                             layout):
         qkv = _qkv(jax.random.PRNGKey(0), batch, seq, heads, head_dim,
                    jnp.float32)
         ref = xla_attention(qkv, heads=heads, causal=causal)
         got = fused_attention(qkv, heads=heads, causal=causal,
-                              interpret=True)
+                              interpret=True, layout=layout)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-6, rtol=2e-6)
 
@@ -110,6 +112,7 @@ class TestHybridVJP:
         np.testing.assert_allclose(np.asarray(g_h), np.asarray(g_x),
                                    atol=1e-5, rtol=1e-5)
 
+    @pytest.mark.parametrize("layout", ["fused", "split"])
     @pytest.mark.parametrize(
         "batch,seq,heads,head_dim,causal",
         [
@@ -119,7 +122,7 @@ class TestHybridVJP:
         ],
     )
     def test_bwd_kernel_matches_xla_vjp(self, batch, seq, heads, head_dim,
-                                        causal):
+                                        causal, layout):
         qkv = _qkv(jax.random.PRNGKey(11), batch, seq, heads, head_dim,
                    jnp.float32)
         g = jax.random.normal(jax.random.PRNGKey(12),
@@ -128,7 +131,7 @@ class TestHybridVJP:
             lambda t: xla_attention(t, heads=heads, causal=causal), qkv)
         (ref,) = vjp(g)
         got = fused_attention_bwd(qkv, g, heads=heads, causal=causal,
-                                  interpret=True)
+                                  interpret=True, layout=layout)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5)
 

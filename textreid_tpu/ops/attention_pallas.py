@@ -165,6 +165,57 @@ def _fused_attention_local(qkv, *, heads: int, causal: bool = False,
     return out
 
 
+def _split_heads(qkv, heads):
+    """[B, S, 3W] -> (q, k, v) each [B*H, S, D] — the tile-conservative
+    layout (last block dim == array dim, always legal for Mosaic) behind
+    ``layout='split'``.  Costs one physical transpose pass per tensor."""
+    batch, seq, three_w = qkv.shape
+    width = three_w // 3
+    head_dim = width // heads
+    q3 = qkv.reshape(batch, seq, 3, heads, head_dim)
+    q3 = q3.transpose(2, 0, 3, 1, 4).reshape(3, batch * heads, seq, head_dim)
+    return q3[0], q3[1], q3[2]
+
+
+def _merge_heads(out_bh, batch, heads):
+    """[B*H, S, D] -> [B, S, W] (inverse of ``_split_heads`` per tensor)."""
+    bh, seq, head_dim = out_bh.shape
+    return (out_bh.reshape(batch, heads, seq, head_dim)
+            .transpose(0, 2, 1, 3).reshape(batch, seq, heads * head_dim))
+
+
+def _fused_attention_local_split(qkv, *, heads: int, causal: bool = False,
+                                 scale: float | None = None,
+                                 block_batch: int = 8,
+                                 interpret: bool = False):
+    """Same kernel body on the [B*H, S, D] layout.  Fallback for the
+    zero-copy head-slab BlockSpecs of ``_fused_attention_local``, whose
+    ``head_dim``-wide last-dim blocks sit outside Mosaic's documented
+    (sublane, 128) block-alignment rule; here the last block dim equals
+    the array dim, which is always legal.  Trades one transpose pass per
+    operand for that guarantee — the probe (tools/attn_probe.py) measures
+    both and the faster compiling variant wins the default."""
+    batch, seq, three_w = qkv.shape
+    width = three_w // 3
+    head_dim = width // heads
+    if scale is None:
+        scale = float(head_dim) ** -0.5
+    q, k, v = _split_heads(qkv, heads)
+    bh = batch * heads
+    bt = _pick_block_batch(bh, block_batch, seq=seq, score_tiles=2)
+    blk = (bt, seq, head_dim)
+    spec = pl.BlockSpec(blk, lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_attention_kernel, scale=scale, causal=causal),
+        grid=(bh // bt,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((bh, seq, head_dim), qkv.dtype),
+        interpret=interpret,
+    )(q, k, v)
+    return _merge_heads(out, batch, heads)
+
+
 def _batch_only(mesh, arg_shapes):
     """NamedSharding keeping only the batch-dim component of the first
     operand's sharding (attention is per-sample: the kernel is correct on
@@ -176,8 +227,18 @@ def _batch_only(mesh, arg_shapes):
     return NamedSharding(mesh, PartitionSpec(batch_axis, None, None))
 
 
+# Block layout used when callers don't override: "fused" = zero-copy
+# head-slab BlockSpecs over the qkv array; "split" = tile-conservative
+# [B*H, S, D] (one transpose pass per operand).  Switched by on-chip
+# probing (tools/attn_probe.py).
+DEFAULT_LAYOUT = "fused"
+
+_LOCAL_FWD = {"fused": _fused_attention_local,
+              "split": _fused_attention_local_split}
+
+
 @functools.lru_cache(maxsize=None)
-def _partitioned_fwd(heads, causal, scale, block_batch, interpret):
+def _partitioned_fwd(heads, causal, scale, block_batch, interpret, layout):
     """A ``custom_partitioning``-wrapped forward for this config: under a
     sharded jit, GSPMD/shardy runs the kernel on each device's local batch
     shard instead of all-gathering the activations around an opaque
@@ -186,7 +247,7 @@ def _partitioned_fwd(heads, causal, scale, block_batch, interpret):
     from jax.experimental.custom_partitioning import custom_partitioning
 
     def impl(qkv):
-        return _fused_attention_local(
+        return _LOCAL_FWD[layout](
             qkv, heads=heads, causal=causal, scale=scale,
             block_batch=block_batch, interpret=interpret)
 
@@ -211,11 +272,12 @@ def _partitioned_fwd(heads, causal, scale, block_batch, interpret):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("heads", "causal", "scale", "block_batch", "interpret"),
+    static_argnames=("heads", "causal", "scale", "block_batch", "interpret",
+                     "layout"),
 )
 def fused_attention(qkv, *, heads: int, causal: bool = False,
                     scale: float | None = None, block_batch: int = 8,
-                    interpret: bool = False):
+                    interpret: bool = False, layout: str | None = None):
     """Multi-head attention over a fused QKV projection.
 
     qkv: [B, S, 3*W] — the output of the QKV Dense layer, laid out as
@@ -231,7 +293,7 @@ def fused_attention(qkv, *, heads: int, causal: bool = False,
         # default hit the same partitioned instance
         scale = float((qkv.shape[-1] // 3) // heads) ** -0.5
     return _partitioned_fwd(heads, causal, scale, block_batch,
-                            interpret)(qkv)
+                            interpret, layout or DEFAULT_LAYOUT)(qkv)
 
 
 def _attention_bwd_kernel(qkv_q_ref, qkv_k_ref, qkv_v_ref, g_ref,
@@ -329,12 +391,48 @@ def _fused_attention_bwd_local(qkv, g, *, heads: int, causal: bool = False,
     return jnp.concatenate([dq, dk, dv], axis=-1)
 
 
+def _fused_attention_bwd_local_split(qkv, g, *, heads: int,
+                                     causal: bool = False,
+                                     scale: float | None = None,
+                                     block_batch: int = 4,
+                                     interpret: bool = False):
+    """Backward on the tile-conservative [B*H, S, D] layout (see
+    ``_fused_attention_local_split``)."""
+    batch, seq, three_w = qkv.shape
+    width = three_w // 3
+    head_dim = width // heads
+    if scale is None:
+        scale = float(head_dim) ** -0.5
+    q, k, v = _split_heads(qkv, heads)
+    g_bh = (g.reshape(batch, seq, heads, head_dim)
+            .transpose(0, 2, 1, 3).reshape(batch * heads, seq, head_dim))
+    bh = batch * heads
+    bt = _pick_block_batch(bh, block_batch, seq=seq, score_tiles=4)
+    blk = (bt, seq, head_dim)
+    spec = pl.BlockSpec(blk, lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attention_bwd_kernel, scale=scale, causal=causal),
+        grid=(bh // bt,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=[spec, spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((bh, seq, head_dim), qkv.dtype)
+                   for _ in range(3)],
+        interpret=interpret,
+    )(q, k, v, g_bh)
+    return jnp.concatenate(
+        [_merge_heads(t, batch, heads) for t in (dq, dk, dv)], axis=-1)
+
+
+_LOCAL_BWD = {"fused": _fused_attention_bwd_local,
+              "split": _fused_attention_bwd_local_split}
+
+
 @functools.lru_cache(maxsize=None)
-def _partitioned_bwd(heads, causal, scale, block_batch, interpret):
+def _partitioned_bwd(heads, causal, scale, block_batch, interpret, layout):
     from jax.experimental.custom_partitioning import custom_partitioning
 
     def impl(qkv, g):
-        return _fused_attention_bwd_local(
+        return _LOCAL_BWD[layout](
             qkv, g, heads=heads, causal=causal, scale=scale,
             block_batch=block_batch, interpret=interpret)
 
@@ -357,11 +455,12 @@ def _partitioned_bwd(heads, causal, scale, block_batch, interpret):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("heads", "causal", "scale", "block_batch", "interpret"),
+    static_argnames=("heads", "causal", "scale", "block_batch", "interpret",
+                     "layout"),
 )
 def fused_attention_bwd(qkv, g, *, heads: int, causal: bool = False,
                         scale: float | None = None, block_batch: int = 4,
-                        interpret: bool = False):
+                        interpret: bool = False, layout: str | None = None):
     """d(attention)/d(qkv) as a Pallas kernel: qkv [B, S, 3W], upstream
     cotangent g [B, S, W] -> dqkv [B, S, 3W].  Like the forward, the
     [S, S] score/probability/ds tiles never touch HBM; three f32 [S, S]
@@ -370,7 +469,7 @@ def fused_attention_bwd(qkv, g, *, heads: int, causal: bool = False,
     if scale is None:
         scale = float((qkv.shape[-1] // 3) // heads) ** -0.5
     return _partitioned_bwd(heads, causal, scale, block_batch,
-                            interpret)(qkv, g)
+                            interpret, layout or DEFAULT_LAYOUT)(qkv, g)
 
 
 def xla_attention(qkv, *, heads: int, causal: bool = False,

@@ -49,11 +49,19 @@ def main():
                                           causal=causal), (qkv,),
                         iters=args.iters)
         print(f"{name} fwd xla: {t*1e3:.3f} ms", flush=True)
-        for bb in args.blocks:
-            f = functools.partial(fused_attention, heads=heads,
-                                  causal=causal, block_batch=bb)
-            t = _timed_loop(f, (qkv,), iters=args.iters)
-            print(f"{name} fwd fused bb={bb}: {t*1e3:.3f} ms", flush=True)
+        for layout in ("fused", "split"):
+            for bb in args.blocks:
+                f = functools.partial(fused_attention, heads=heads,
+                                      causal=causal, block_batch=bb,
+                                      layout=layout)
+                try:
+                    t = _timed_loop(f, (qkv,), iters=args.iters)
+                except Exception as e:  # Mosaic lowering rejection etc.
+                    print(f"{name} fwd {layout} bb={bb}: FAILED "
+                          f"{type(e).__name__}: {str(e)[:160]}", flush=True)
+                    break
+                print(f"{name} fwd {layout} bb={bb}: {t*1e3:.3f} ms",
+                      flush=True)
 
         if not args.skip_bwd:
             def xla_bwd(qkv_, g_):
@@ -64,12 +72,20 @@ def main():
 
             t = _timed_loop(xla_bwd, (qkv, g), iters=args.iters)
             print(f"{name} bwd xla(vjp): {t*1e3:.3f} ms", flush=True)
-            for bb in args.blocks:
-                f = functools.partial(fused_attention_bwd, heads=heads,
-                                      causal=causal, block_batch=bb)
-                t = _timed_loop(f, (qkv, g), iters=args.iters)
-                print(f"{name} bwd fused bb={bb}: {t*1e3:.3f} ms",
-                      flush=True)
+            for layout in ("fused", "split"):
+                for bb in args.blocks:
+                    f = functools.partial(fused_attention_bwd, heads=heads,
+                                          causal=causal, block_batch=bb,
+                                          layout=layout)
+                    try:
+                        t = _timed_loop(f, (qkv, g), iters=args.iters)
+                    except Exception as e:
+                        print(f"{name} bwd {layout} bb={bb}: FAILED "
+                              f"{type(e).__name__}: {str(e)[:160]}",
+                              flush=True)
+                        break
+                    print(f"{name} bwd {layout} bb={bb}: {t*1e3:.3f} ms",
+                          flush=True)
 
         # on-device agreement (compiled path, not interpret)
         r = np.asarray(xla_attention(qkv, heads=heads, causal=causal),
