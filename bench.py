@@ -227,6 +227,14 @@ def bench_train_step():
     # standalone forward stage.
     variant = os.environ.get("BENCH_TRAIN_MODEL", "")
     fused = os.environ.get("BENCH_TRAIN_FUSED_ATTN", "") == "1"
+    if variant not in ("", "vit"):
+        raise SystemExit(f"unknown BENCH_TRAIN_MODEL={variant!r} "
+                         f"(expected '' or 'vit')")
+    if fused and variant != "vit":
+        # RN50+bi-GRU has no transformer tower: the knob would be a no-op
+        # yet still tag the artifact as a fused-attention measurement
+        raise SystemExit("BENCH_TRAIN_FUSED_ATTN=1 requires "
+                         "BENCH_TRAIN_MODEL=vit")
     if variant == "vit":
         cfg.MODEL.VISUAL_MODEL = "clip_vit_b16"
     if fused:
@@ -414,15 +422,21 @@ def bench_stages():
     # int8-Dense ViT (models/quant_tower.py): every block matmul
     # (qkv/out_proj/c_fc/c_proj) on the int8 MXU path (342-357 TOPS
     # measured vs 193 bf16)
-    def vit_int8(v, x):
-        import flax.linen as nn
+    def int8_dense_apply(module):
+        def apply(v, x):
+            import flax.linen as nn
 
-        from textreid_tpu.models.quant_tower import int8_dense_interceptor
+            from textreid_tpu.models.quant_tower import (
+                int8_dense_interceptor,
+            )
 
-        with nn.intercept_methods(int8_dense_interceptor()):
-            return vit.apply(v, x)
+            with nn.intercept_methods(int8_dense_interceptor()):
+                return module.apply(v, x)
 
-    stage("vit_fwd_int8", vit_int8, (vitvars, pixels), iters=50)
+        return apply
+
+    stage("vit_fwd_int8", int8_dense_apply(vit), (vitvars, pixels),
+          iters=50)
 
     # fused Pallas attention (ops/attention_pallas.py): identical param
     # tree, [S,S] score tiles kept in VMEM, QKV head slicing folded into
@@ -453,16 +467,8 @@ def bench_stages():
 
         # composed: int8 MXU for the block matmuls + Pallas attention for
         # the HBM-bound score tensor (independent levers, same tower)
-        def vit_int8_fused(v, x):
-            import flax.linen as nn
-
-            from textreid_tpu.models.quant_tower import int8_dense_interceptor
-
-            with nn.intercept_methods(int8_dense_interceptor()):
-                return vit_fused.apply(v, x)
-
-        stage("vit_fwd_int8_fused_attn", vit_int8_fused, (vitvars, pixels),
-              iters=50)
+        stage("vit_fwd_int8_fused_attn", int8_dense_apply(vit_fused),
+              (vitvars, pixels), iters=50)
 
     # attention pool alone at the RN50 grid ([B, 12, 4, 2048])
     pool = AttentionPool2d(spacial_dim=(12, 4), embed_dim=2048, num_heads=32,

@@ -117,16 +117,21 @@ def _attention_kernel(qkv_q_ref, qkv_k_ref, qkv_v_ref, out_ref,
     out_ref[:] = (o / denom).astype(out_ref.dtype)
 
 
+def _validate_qkv(qkv, heads):
+    three_w = qkv.shape[-1]
+    if three_w % (3 * heads):
+        raise ValueError(
+            f"qkv last dim {three_w} is not divisible by 3*heads="
+            f"{3 * heads}; the [q|k|v] head slicing would misalign.")
+
+
 def _fused_attention_local(qkv, *, heads: int, causal: bool = False,
                            scale: float | None = None, block_batch: int = 8,
                            interpret: bool = False):
     """The pallas_call itself, on device-local shapes (see
     ``fused_attention`` for the public, mesh-aware entry point)."""
     batch, seq, three_w = qkv.shape
-    if three_w % (3 * heads):
-        raise ValueError(
-            f"qkv last dim {three_w} is not divisible by 3*heads="
-            f"{3 * heads}; the [q|k|v] head slicing would misalign.")
+    _validate_qkv(qkv, heads)
     width = three_w // 3
     head_dim = width // heads
     if scale is None:
@@ -196,6 +201,7 @@ def _fused_attention_local_split(qkv, *, heads: int, causal: bool = False,
     operand for that guarantee — the probe (tools/attn_probe.py) measures
     both and the faster compiling variant wins the default."""
     batch, seq, three_w = qkv.shape
+    _validate_qkv(qkv, heads)
     width = three_w // 3
     head_dim = width // heads
     if scale is None:
@@ -237,25 +243,21 @@ _LOCAL_FWD = {"fused": _fused_attention_local,
               "split": _fused_attention_local_split}
 
 
-@functools.lru_cache(maxsize=None)
-def _partitioned_fwd(heads, causal, scale, block_batch, interpret, layout):
-    """A ``custom_partitioning``-wrapped forward for this config: under a
-    sharded jit, GSPMD/shardy runs the kernel on each device's local batch
-    shard instead of all-gathering the activations around an opaque
-    custom call (measured: 15 all-gathers in the 8-way sharded HLO before
-    this wrapper, zero after)."""
+def _make_partitioned(impl, n_args, sharding_rule):
+    """Wrap ``impl`` (a kernel call on local shapes, ``n_args`` array
+    operands) in ``custom_partitioning``: under a sharded jit, GSPMD/
+    shardy runs the kernel on each device's local batch shard instead of
+    all-gathering the activations around an opaque custom call (measured:
+    15 all-gathers in the 8-way sharded HLO before this wrapper, zero
+    after).  ``sharding_rule`` must share ONLY the batch factor between
+    operands and result, so only batch shardings propagate."""
     from jax.experimental.custom_partitioning import custom_partitioning
-
-    def impl(qkv):
-        return _LOCAL_FWD[layout](
-            qkv, heads=heads, causal=causal, scale=scale,
-            block_batch=block_batch, interpret=interpret)
 
     cp = custom_partitioning(impl)
 
     def partition(mesh, arg_shapes, result_shape):
         ns = _batch_only(mesh, arg_shapes)
-        return mesh, impl, ns, (ns,)
+        return mesh, impl, ns, (ns,) * n_args
 
     def infer_sharding(mesh, arg_shapes, result_shape):
         return _batch_only(mesh, arg_shapes)
@@ -263,11 +265,19 @@ def _partitioned_fwd(heads, causal, scale, block_batch, interpret, layout):
     cp.def_partition(
         partition=partition,
         infer_sharding_from_operands=infer_sharding,
-        # shardy rule: only the batch factor is shared between operand and
-        # result, so only batch shardings propagate through the op
-        sharding_rule="b s w -> b t u",
+        sharding_rule=sharding_rule,
     )
     return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_fwd(heads, causal, scale, block_batch, interpret, layout):
+    def impl(qkv):
+        return _LOCAL_FWD[layout](
+            qkv, heads=heads, causal=causal, scale=scale,
+            block_batch=block_batch, interpret=interpret)
+
+    return _make_partitioned(impl, 1, "b s w -> b t u")
 
 
 @functools.partial(
@@ -399,6 +409,7 @@ def _fused_attention_bwd_local_split(qkv, g, *, heads: int,
     """Backward on the tile-conservative [B*H, S, D] layout (see
     ``_fused_attention_local_split``)."""
     batch, seq, three_w = qkv.shape
+    _validate_qkv(qkv, heads)
     width = three_w // 3
     head_dim = width // heads
     if scale is None:
@@ -429,28 +440,12 @@ _LOCAL_BWD = {"fused": _fused_attention_bwd_local,
 
 @functools.lru_cache(maxsize=None)
 def _partitioned_bwd(heads, causal, scale, block_batch, interpret, layout):
-    from jax.experimental.custom_partitioning import custom_partitioning
-
     def impl(qkv, g):
         return _LOCAL_BWD[layout](
             qkv, g, heads=heads, causal=causal, scale=scale,
             block_batch=block_batch, interpret=interpret)
 
-    cp = custom_partitioning(impl)
-
-    def partition(mesh, arg_shapes, result_shape):
-        ns = _batch_only(mesh, arg_shapes)
-        return mesh, impl, ns, (ns, ns)
-
-    def infer_sharding(mesh, arg_shapes, result_shape):
-        return _batch_only(mesh, arg_shapes)
-
-    cp.def_partition(
-        partition=partition,
-        infer_sharding_from_operands=infer_sharding,
-        sharding_rule="b s w, b t u -> b p q",
-    )
-    return cp
+    return _make_partitioned(impl, 2, "b s w, b t u -> b p q")
 
 
 @functools.partial(
@@ -493,33 +488,41 @@ def xla_attention(qkv, *, heads: int, causal: bool = False,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(1, 2, 3, 4, 5, 6))
+                   nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
 def hybrid_attention(qkv, heads: int, causal: bool = False,
                      scale: float | None = None, block_batch: int = 8,
-                     interpret: bool = False, pallas_bwd: bool = True):
+                     interpret: bool = False, pallas_bwd: bool = True,
+                     bwd_block_batch: int = 4, layout: str | None = None):
     """Differentiable fused attention, usable in train and eval alike.
 
     Forward is always the Pallas kernel.  Backward is the Pallas backward
     kernel by default (``fused_attention_bwd`` — score tiles recomputed in
     VMEM, no [B, H, S, S] HBM traffic in the grad either); ``pallas_bwd=
     False`` falls back to differentiating the XLA formulation (recompute),
-    the conservative path the GRU hybrid uses."""
+    the conservative path the GRU hybrid uses.  ``block_batch`` tunes the
+    forward's sample block, ``bwd_block_batch`` the backward's (its tiles
+    are ~2x bigger, hence the smaller default); ``layout`` picks the block
+    layout for both (None = ``DEFAULT_LAYOUT``)."""
     return fused_attention(qkv, heads=heads, causal=causal, scale=scale,
-                           block_batch=block_batch, interpret=interpret)
+                           block_batch=block_batch, interpret=interpret,
+                           layout=layout)
 
 
 def _hybrid_fwd(qkv, heads, causal, scale, block_batch, interpret,
-                pallas_bwd):
+                pallas_bwd, bwd_block_batch, layout):
     out = fused_attention(qkv, heads=heads, causal=causal, scale=scale,
-                          block_batch=block_batch, interpret=interpret)
+                          block_batch=block_batch, interpret=interpret,
+                          layout=layout)
     return out, qkv
 
 
 def _hybrid_bwd(heads, causal, scale, block_batch, interpret, pallas_bwd,
-                qkv, g):
+                bwd_block_batch, layout, qkv, g):
     if pallas_bwd:
         return (fused_attention_bwd(qkv, g, heads=heads, causal=causal,
-                                    scale=scale, interpret=interpret),)
+                                    scale=scale,
+                                    block_batch=bwd_block_batch,
+                                    interpret=interpret, layout=layout),)
     del block_batch
     _, vjp = jax.vjp(
         lambda t: xla_attention(t, heads=heads, causal=causal, scale=scale),

@@ -87,25 +87,43 @@ def main():
                     print(f"{name} bwd {layout} bb={bb}: {t*1e3:.3f} ms",
                           flush=True)
 
-        # on-device agreement (compiled path, not interpret)
+        # on-device agreement (compiled path, not interpret) per layout —
+        # wrapped so a Mosaic rejection of one layout doesn't abort the
+        # probe (the very scenario the other layout exists for)
         r = np.asarray(xla_attention(qkv, heads=heads, causal=causal),
                        np.float32)
-        o = np.asarray(fused_attention(qkv, heads=heads, causal=causal),
-                       np.float32)
-        cos = (r * o).sum() / (np.linalg.norm(r) * np.linalg.norm(o) + 1e-12)
-        print(f"{name} fwd max_err={np.abs(r-o).max():.4e} cos={cos:.6f}",
-              flush=True)
+        rb = None
         if not args.skip_bwd:
             rb = np.asarray(
                 jax.vjp(lambda t_: xla_attention(t_, heads=heads,
                                                  causal=causal), qkv)[1](g)[0],
                 np.float32)
-            ob = np.asarray(fused_attention_bwd(qkv, g, heads=heads,
-                                                causal=causal), np.float32)
-            cos = (rb * ob).sum() / (np.linalg.norm(rb)
-                                     * np.linalg.norm(ob) + 1e-12)
-            print(f"{name} bwd max_err={np.abs(rb-ob).max():.4e} "
-                  f"cos={cos:.6f}", flush=True)
+        for layout in ("fused", "split"):
+            try:
+                o = np.asarray(fused_attention(qkv, heads=heads,
+                                               causal=causal, layout=layout),
+                               np.float32)
+                cos = (r * o).sum() / (np.linalg.norm(r)
+                                       * np.linalg.norm(o) + 1e-12)
+                print(f"{name} fwd {layout} max_err={np.abs(r-o).max():.4e} "
+                      f"cos={cos:.6f}", flush=True)
+            except Exception as e:
+                print(f"{name} fwd {layout} agreement: FAILED "
+                      f"{type(e).__name__}: {str(e)[:160]}", flush=True)
+            if rb is None:
+                continue
+            try:
+                ob = np.asarray(
+                    fused_attention_bwd(qkv, g, heads=heads, causal=causal,
+                                        layout=layout), np.float32)
+                cos = (rb * ob).sum() / (np.linalg.norm(rb)
+                                         * np.linalg.norm(ob) + 1e-12)
+                print(f"{name} bwd {layout} "
+                      f"max_err={np.abs(rb-ob).max():.4e} cos={cos:.6f}",
+                      flush=True)
+            except Exception as e:
+                print(f"{name} bwd {layout} agreement: FAILED "
+                      f"{type(e).__name__}: {str(e)[:160]}", flush=True)
     print("DONE", flush=True)
 
 
