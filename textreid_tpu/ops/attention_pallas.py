@@ -237,7 +237,14 @@ def _batch_only(mesh, arg_shapes):
 # head-slab BlockSpecs over the qkv array; "split" = tile-conservative
 # [B*H, S, D] (one transpose pass per operand).  Switched by on-chip
 # probing (tools/attn_probe.py).
-DEFAULT_LAYOUT = "fused"
+#
+# "split" is the default until the fused layout's head_dim-wide last-dim
+# blocks (at 64-lane offsets) are CONFIRMED to lower on real hardware —
+# they sit outside Mosaic's documented (sublane, 128) block-alignment
+# rule, and a default must compile everywhere.  If the probe shows the
+# fused layout both lowers and wins, flip this constant with the numbers
+# in hand.
+DEFAULT_LAYOUT = "split"
 
 _LOCAL_FWD = {"fused": _fused_attention_local,
               "split": _fused_attention_local_split}
