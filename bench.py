@@ -221,22 +221,30 @@ def bench_train_step():
     cfg.INPUT.HEIGHT, cfg.INPUT.WIDTH = 384, 128
 
     # BENCH_TRAIN_MODEL=vit swaps in the ViT-B/16 stretch backbone;
+    # BENCH_TRAIN_MODEL=fullclip additionally swaps the textual tower for
+    # the CLIP text transformer (the full-CLIP flagship,
+    # configs/cuhkpedes/moco_fullclip_vitb16_ls_bs128_2048.yaml shapes).
     # BENCH_TRAIN_FUSED_ATTN=1 additionally turns on the Pallas attention
     # kernels (fwd + bwd through the hybrid VJP) — together they measure
     # the fused-attention win on a REAL optimization step, not just the
     # standalone forward stage.
     variant = os.environ.get("BENCH_TRAIN_MODEL", "")
     fused = os.environ.get("BENCH_TRAIN_FUSED_ATTN", "") == "1"
-    if variant not in ("", "vit"):
+    if variant not in ("", "vit", "fullclip"):
         raise SystemExit(f"unknown BENCH_TRAIN_MODEL={variant!r} "
-                         f"(expected '' or 'vit')")
-    if fused and variant != "vit":
+                         f"(expected '', 'vit' or 'fullclip')")
+    if fused and not variant:
         # RN50+bi-GRU has no transformer tower: the knob would be a no-op
         # yet still tag the artifact as a fused-attention measurement
         raise SystemExit("BENCH_TRAIN_FUSED_ATTN=1 requires "
-                         "BENCH_TRAIN_MODEL=vit")
-    if variant == "vit":
+                         "BENCH_TRAIN_MODEL=vit or fullclip")
+    if variant in ("vit", "fullclip"):
         cfg.MODEL.VISUAL_MODEL = "clip_vit_b16"
+    if variant == "fullclip":
+        cfg.MODEL.TEXTUAL_MODEL = "transformer"
+        cfg.MODEL.TRANSFORMER.ARCH = "clip_text_b16"
+        cfg.MODEL.TRANSFORMER.VOCAB_SIZE = 49408
+        cfg.MODEL.TRANSFORMER.CONTEXT_LENGTH = TOKENS
     if fused:
         cfg.TPU.FUSED_ATTENTION = True
 
@@ -1106,6 +1114,113 @@ def run_headline():
 
 
 # ---------------------------------------------------------------------------
+# --rerank
+# ---------------------------------------------------------------------------
+def bench_rerank():
+    """k-reciprocal rerank at CUHK-PEDES eval scale.
+
+    The reference computes the Jaccard rerank term with a pure-Python
+    double loop over every (query, gallery) pair, flagged ``FIXME: need
+    optimization`` (reference lib/data/metrics/evaluation.py:40-65; SURVEY
+    §3.2 marks it the evaluation hot loop).  Here the same term is two MXU
+    matmuls over one-hot neighbor indicators (evaluation/metrics.py:87-110).
+    This mode times both at eval scale — the Python loop on a row subset
+    with extrapolation (the full grid is ~19M interpreter iterations, both
+    directions) — cross-checks the two formulations on the measured subset,
+    and writes BENCH_RERANK.json.
+
+    Env knobs: BENCH_RERANK_Q / _G / _D (shapes), BENCH_RERANK_REF_ROWS
+    (Python-loop sample size).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from textreid_tpu.evaluation.metrics import k_reciprocal
+
+    Q = int(os.environ.get("BENCH_RERANK_Q", N_QUERIES))
+    G = int(os.environ.get("BENCH_RERANK_G", N_GALLERY))
+    D = int(os.environ.get("BENCH_RERANK_D", 256))
+    ref_rows = min(int(os.environ.get("BENCH_RERANK_REF_ROWS", 64)), Q)
+    n_nb, alpha = 5, 0.05
+
+    rng = np.random.RandomState(0)
+    q = rng.randn(Q, D).astype(np.float32)
+    g = rng.randn(G, D).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    qd, gd = jax.device_put(q), jax.device_put(g)
+
+    # Both directions of the real protocol (evaluation/metrics.py:169-181):
+    # rvn reranks t2i, rtn reranks i2t.
+    def both(qf, gf):
+        return (k_reciprocal(qf, gf, n_nb, alpha),
+                k_reciprocal(gf, qf, n_nb, alpha))
+
+    jitted = jax.jit(both)
+    rvn, rtn = jax.block_until_ready(jitted(qd, gd))
+    flops = cost_flops(jitted, qd, gd)
+    t = _timed_loop(both, (qd, gd), iters=50)
+    log(f"device rerank (both directions, {Q}x{G} n={n_nb}): {t*1e3:.3f} ms")
+
+    # Reference formulation, written from the documented algorithm: top-n
+    # neighbor index sets per row, pairwise Jaccard overlap in a Python
+    # double loop (evaluation.py:44-50).  Neighbor-list prep (argsort, set
+    # construction) is excluded from the timed region — conservative in
+    # the reference's favor.  Timed on ref_rows query rows x full gallery,
+    # then extrapolated to the full two-direction grid.
+    qg = q @ g.T
+    gg = g @ g.T
+    q_nb = np.argsort(-qg, axis=1)[:, :n_nb]
+    g_nb = np.argsort(-gg, axis=1)[:, :n_nb]
+    g_sets = [set(r.tolist()) for r in g_nb]
+    q_sets = [set(r.tolist()) for r in q_nb[:ref_rows]]
+    ref = np.empty((ref_rows, G), np.float32)
+    t0 = time.time()
+    for i in range(ref_rows):
+        qi = q_sets[i]
+        for j in range(G):
+            inter = len(qi & g_sets[j])
+            ref[i, j] = inter / (2 * n_nb - inter)
+    loop_s = time.time() - t0
+    per_pair_us = loop_s / (ref_rows * G) * 1e6
+    ref_full_s = per_pair_us * 1e-6 * 2 * Q * G
+    log(f"python loop: {per_pair_us:.2f} us/pair on {ref_rows}x{G}; "
+        f"full two-direction grid extrapolates to {ref_full_s:.1f} s")
+
+    # Exactness cross-check on the measured subset.  Random f32 dot
+    # products can tie at the top-n boundary (argsort vs top_k would then
+    # pick different-but-equally-similar neighbors), so report the match
+    # fraction alongside the max error instead of asserting bitwise
+    # equality.
+    ours = np.asarray(rvn)[:ref_rows]
+    err = np.abs(ours - alpha * ref)
+    subset_match = float((err < 1e-6).mean())
+    log(f"subset agreement: match {subset_match:.6f}, "
+        f"max abs err {err.max():.2e}")
+
+    result = {
+        "metric": f"rerank_jaccard_both_ms_{Q}x{G}",
+        "value": round(t * 1e3, 3),
+        "unit": "ms",
+        # speedup over the reference's own formulation of the same term
+        "vs_baseline": round(ref_full_s / t, 1) if t > 0 else None,
+        "neighbor_num": n_nb,
+        "alpha": alpha,
+        "ref_loop_us_per_pair": round(per_pair_us, 3),
+        "ref_loop_measured_rows": ref_rows,
+        "ref_loop_extrapolated_s": round(ref_full_s, 2),
+        "subset_match": subset_match,
+        "subset_max_abs_err": float(err.max()),
+        "flops": flops,
+        "effective_tflops": (round(flops / t / 1e12, 2)
+                             if flops and t > 0 else None),
+    }
+    with open(os.path.join(OUT_DIR, "BENCH_RERANK.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+# ---------------------------------------------------------------------------
 # supervisor
 # ---------------------------------------------------------------------------
 MODES = {
@@ -1116,6 +1231,7 @@ MODES = {
                   "queries/s"),
     "--server": (bench_server, "server_http_qps_98k_gallery",
                  "requests/s"),
+    "--rerank": (bench_rerank, "rerank_jaccard_both_ms", "ms"),
 }
 
 ATTEMPTS = int(os.environ.get("BENCH_ATTEMPTS", 3))

@@ -69,3 +69,34 @@ class TestBenchSupervisor:
         assert record["value"] is None
         assert record["attempts"] == 2
         assert "error" in record and record["error"]
+
+
+@pytest.mark.slow
+class TestBenchRerank:
+    def test_rerank_mode_matches_reference_loop(self, tmp_path):
+        """--rerank cross-checks the one-hot-matmul Jaccard against a
+        Python loop written from the reference algorithm
+        (evaluation.py:40-65) and must agree exactly at tiny scale."""
+        env = dict(os.environ)
+        env.update({
+            "BENCH_OUT_DIR": str(tmp_path),
+            "JAX_PLATFORMS": "cpu",
+            "BENCH_BACKOFF_S": "0",
+            "BENCH_RERANK_Q": "512",
+            "BENCH_RERANK_G": "256",
+            "BENCH_RERANK_D": "64",
+            "BENCH_RERANK_REF_ROWS": "32",
+        })
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--rerank"],
+            capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
+        )
+        lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+        assert len(lines) == 1, f"want exactly one stdout line, got: {lines}"
+        record = json.loads(lines[0])
+        assert proc.returncode == 0
+        assert record["value"] is not None, record.get("error")
+        art = json.load(open(os.path.join(str(tmp_path), "BENCH_RERANK.json")))
+        assert art["subset_match"] == 1.0
+        assert art["subset_max_abs_err"] == 0.0
+        assert art["ref_loop_us_per_pair"] > 0
