@@ -164,6 +164,9 @@ _C.AMP_VERBOSE = False
 _C.TPU = CN()
 # Data-parallel axis size. 0 = all visible devices.
 _C.TPU.DATA_PARALLEL = 0
+# Tensor-parallel (Megatron FFN split over the mesh `model` axis) degree
+# for the transformer towers; 1 = off.  See parallel/mesh.py:shard_state.
+_C.TPU.MODEL_PARALLEL = 1
 # Compute dtype for backbone matmuls/convs: "float32" or "bfloat16".
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # Text-tower recurrence on the fused Pallas kernel. Measured on the v5e at

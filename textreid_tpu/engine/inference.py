@@ -23,7 +23,7 @@ import jax
 import numpy as np
 
 from ..evaluation.metrics import evaluation, format_results_table
-from ..parallel.mesh import replicate_state, shard_batch
+from ..parallel.mesh import shard_batch, shard_state
 from .state import TrainState
 from .steps import encode_step
 
@@ -39,7 +39,7 @@ def compute_embeddings(model, state: TrainState, data_loader, mesh=None):
         # fully addressable from every process — np.asarray below is then
         # correct for jax.process_count() > 1, where the per-device shards
         # of a batch-sharded output would not all be host-local.
-        state = replicate_state(state, mesh)
+        state = shard_state(state, mesh)
         from ..parallel.mesh import replicated
 
         out_shardings = (replicated(mesh), replicated(mesh))

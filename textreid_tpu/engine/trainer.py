@@ -19,7 +19,7 @@ import logging
 import time
 import jax
 
-from ..parallel.mesh import replicate_state, shard_batch, shard_local_batch
+from ..parallel.mesh import shard_batch, shard_local_batch, shard_state
 from ..solver.build import set_learning_rate
 from .inference import inference
 from .steps import make_train_step
@@ -99,7 +99,7 @@ def do_train(
         train_step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=donate)
 
         if mesh is not None:
-            state = replicate_state(state, mesh)
+            state = shard_state(state, mesh)
 
         best_top1 = float(arguments.get("best_top1", 0.0))
         start_training_time = time.time()

@@ -7,6 +7,8 @@ from .mesh import (
     replicate_state,
     replicated,
     shard_batch,
+    shard_state,
+    tp_spec,
 )
 
 __all__ = [
@@ -17,5 +19,7 @@ __all__ = [
     "batch_sharding",
     "shard_batch",
     "replicate_state",
+    "shard_state",
+    "tp_spec",
     "local_batch_size",
 ]

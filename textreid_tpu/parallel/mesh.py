@@ -11,8 +11,16 @@ collectives — including the all-gathered MoCo queue append that the
 reference's per-rank queues silently skipped (``broadcast_buffers=False``,
 train_net.py:55; SURVEY.md section 2 parallelism table).
 
-A ``model`` axis is reserved for tensor-parallel extensions; at this model
-scale it stays size 1.
+The ``model`` axis carries opt-in Megatron-style tensor parallelism for the
+transformer towers (``TPU.MODEL_PARALLEL``): the FFN halves of every
+``TransformerBlock`` (``c_fc``/``c_proj`` in both the ViT and the CLIP text
+transformer) are sharded column-then-row over ``model`` via GSPMD param
+placements alone — ``c_fc`` splits its output features, ``c_proj``
+contracts over the split dimension and XLA inserts the partial-sum
+``psum`` — so the train/eval step code is untouched.  At the flagship
+RN50+bi-GRU scale the axis stays size 1 (tensor parallelism has nothing to
+shard in a conv trunk this size); the knob exists for the ViT/full-CLIP
+family where the MLPs are ~2/3 of tower FLOPs.
 """
 
 from __future__ import annotations
@@ -27,17 +35,19 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
-def make_mesh(num_data: int = 0, devices=None) -> Mesh:
-    """Build a (data, model=1) mesh over ``num_data`` devices (0 = all)."""
+def make_mesh(num_data: int = 0, num_model: int = 1, devices=None) -> Mesh:
+    """Build a (data, model) mesh (``num_data=0`` = fill with all devices)."""
     devices = list(devices if devices is not None else jax.devices())
+    num_model = max(int(num_model), 1)
     if num_data <= 0:
-        num_data = len(devices)
-    if num_data > len(devices):
+        num_data = len(devices) // num_model
+    need = num_data * num_model
+    if need == 0 or need > len(devices):
         raise ValueError(
-            f"Requested data axis of {num_data} but only {len(devices)} "
-            f"devices are visible"
+            f"Requested a {num_data}x{num_model} (data x model) mesh but "
+            f"only {len(devices)} devices are visible"
         )
-    dev_array = np.array(devices[:num_data]).reshape(num_data, 1)
+    dev_array = np.array(devices[:need]).reshape(num_data, num_model)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
@@ -94,6 +104,89 @@ def shard_local_batch(local_batch: dict, mesh: Mesh) -> dict:
 def replicate_state(state, mesh: Mesh):
     sharding = replicated(mesh)
     return jax.device_put(state, sharding)
+
+
+# Megatron-style FFN split (Shoeybi et al. 2019), expressed purely as GSPMD
+# parameter placements.  Rules are keyed on trailing pytree path names so
+# they hit the same tensors everywhere they recur — query towers, MoCo EMA
+# key towers, and the Adam mu/nu mirrors inside ``opt_state`` (optax state
+# reuses the param tree paths).  Everything unmatched stays replicated,
+# which keeps the conv trunks, GRU, queues and scalars on the existing
+# data-parallel layout.
+_TP_RULES = (
+    # c_fc [width, 4*width]: split output features over `model`
+    (("c_fc", "kernel"), 2, P(None, MODEL_AXIS)),
+    (("c_fc", "bias"), 1, P(MODEL_AXIS)),
+    # c_proj [4*width, width]: contract over the split dim; GSPMD inserts
+    # the psum over `model`.  Its bias stays replicated (added post-psum).
+    (("c_proj", "kernel"), 2, P(MODEL_AXIS, None)),
+)
+
+
+def _path_names(path) -> tuple:
+    names = []
+    for k in path:
+        name = getattr(k, "key", None)
+        if name is None:
+            name = getattr(k, "name", None)
+        if name is None:
+            idx = getattr(k, "idx", None)
+            name = f"[{idx}]" if idx is not None else str(k)
+        names.append(str(name))
+    return tuple(names)
+
+
+def tp_spec(path, leaf) -> P:
+    """PartitionSpec for one state leaf under FFN tensor parallelism.
+
+    Rules apply only inside a ``TransformerBlock`` scope (``block_<i>``):
+    CLIP's attention pool also names its output projection ``c_proj``
+    (models/m_resnet.py), and that per-sample matvec is not worth a split.
+    """
+    names = _path_names(path)
+    ndim = getattr(leaf, "ndim", None)
+    for suffix, want_ndim, spec in _TP_RULES:
+        if (names[-len(suffix):] == suffix and ndim == want_ndim
+                and len(names) > len(suffix)
+                and names[-len(suffix) - 1].startswith("block_")):
+            return spec
+    return P()
+
+
+def shard_state(state, mesh: Mesh):
+    """Place train/eval state on ``mesh``: replicated when the model axis
+    is 1 (the default), FFN-tensor-parallel per :data:`_TP_RULES` when the
+    mesh was built with ``num_model > 1``.
+
+    The sharded placements alone drive GSPMD: jitted steps consume the
+    committed arrays, the partitioner propagates the split through the
+    matmuls, and elementwise updates (Adam, EMA) keep the layout, so the
+    same step function serves both parallelism modes.
+    """
+    if mesh.shape[MODEL_AXIS] == 1:
+        return replicate_state(state, mesh)
+    matched = [False]
+
+    def place(path, leaf):
+        spec = tp_spec(path, leaf)
+        if spec != P():
+            matched[0] = True
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    out = jax.tree_util.tree_map_with_path(place, state)
+    if not matched[0]:
+        # A model-parallel mesh whose state matched no rule (e.g. the
+        # RN50+bi-GRU flagship has no TransformerBlock FFNs) would silently
+        # replicate everything while the batch stays sharded over `data`
+        # alone — the model-axis devices would duplicate work for zero
+        # speedup.  Refuse loudly instead of degrading.
+        raise ValueError(
+            f"TPU.MODEL_PARALLEL={mesh.shape[MODEL_AXIS]} but no state "
+            "leaf matches a tensor-parallel rule (c_fc/c_proj transformer "
+            "FFNs). Tensor parallelism applies to the ViT/full-CLIP "
+            "family; use a pure data mesh for this model."
+        )
+    return out
 
 
 def local_batch_size(global_batch: int, mesh: Optional[Mesh]) -> int:
