@@ -1198,10 +1198,25 @@ def bench_rerank():
     log(f"subset agreement: match {subset_match:.6f}, "
         f"max abs err {err.max():.2e}")
 
+    # CMC/mAP ranking at the same scale (full argsort path — the mAP
+    # branch of evaluation/metrics.py:rank, reference evaluation.py:11-37)
+    # completes the protocol timing: encode is the headline bench, the
+    # Jaccard term is above, this is the scoring pass run 4x per grid.
+    from textreid_tpu.evaluation.metrics import rank as rank_fn
+
+    q_pids = jax.device_put(rng.randint(0, 1000, (Q,)).astype(np.int32))
+    g_pids = jax.device_put(rng.randint(0, 1000, (G,)).astype(np.int32))
+    sim = jax.device_put((q @ g.T).astype(np.float32))
+    t_rank = _timed_loop(
+        lambda s, qp, gp: rank_fn(s, qp, gp, (1, 5, 10)),
+        (sim, q_pids, g_pids), iters=20, no_perturb=(1, 2))
+    log(f"device rank() with mAP ({Q}x{G}): {t_rank*1e3:.3f} ms")
+
     result = {
         "metric": f"rerank_jaccard_both_ms_{Q}x{G}",
         "value": round(t * 1e3, 3),
         "unit": "ms",
+        "rank_map_ms": round(t_rank * 1e3, 3),
         # speedup over the reference's own formulation of the same term
         "vs_baseline": round(ref_full_s / t, 1) if t > 0 else None,
         "neighbor_num": n_nb,
