@@ -236,3 +236,40 @@ class TestNoSilentDowngrade:
                                    batch)
         with pytest.raises(ValueError, match="no state leaf matches"):
             shard_state(state, make_mesh(4, 2))
+
+
+@pytest.mark.slow
+class TestTPFusedAttentionComposition:
+    def test_tp_sharded_params_through_fused_attention_tower(self):
+        """FFN tensor parallelism composes with the Pallas attention
+        kernel's own partitioning rule (batch-factor-only,
+        ops/attention_pallas.py): attention params stay replicated, FFN
+        params are model-sharded, and the tower output matches the
+        unsharded XLA-attention forward."""
+        from jax.sharding import NamedSharding
+        from textreid_tpu.parallel.mesh import tp_spec
+
+        vit = VisionTransformer(
+            input_resolution=(32, 16), patch_size=8, width=32, layers=2,
+            heads=4, output_dim=32,
+        )
+        vit_fused = VisionTransformer(
+            input_resolution=(32, 16), patch_size=8, width=32, layers=2,
+            heads=4, output_dim=32, fused_attention=True,
+            attn_interpret=True,
+        )
+        rng = np.random.RandomState(0)
+        pixels = jnp.asarray(rng.randn(8, 32, 16, 3).astype(np.float32))
+        variables = vit.init(jax.random.PRNGKey(0), pixels)
+        ref = jax.jit(vit.apply)(variables, pixels)
+
+        mesh = make_mesh(4, 2)
+        sharded_vars = jax.tree_util.tree_map_with_path(
+            lambda p, x: jax.device_put(
+                x, NamedSharding(mesh, tp_spec(p, x))), variables)
+        ffn = sharded_vars["params"]["block_0"]["c_fc"]["kernel"]
+        assert MODEL_AXIS in tuple(ffn.sharding.spec)
+        px = shard_batch({"pixels": np.asarray(pixels)}, mesh)["pixels"]
+        got = jax.jit(vit_fused.apply)(sharded_vars, px)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   rtol=2e-4, atol=2e-5)
