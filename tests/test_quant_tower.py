@@ -191,3 +191,21 @@ class TestServingIntegration:
             if fm[r, 0] != qm[r, 0]:
                 flip_score = fs[r][fm[r] == qm[r, 0]][0]
                 assert fs[r, 0] - flip_score < 0.02, (r, fs[r], fm[r])
+
+    def test_int8_encode_serves_image_queries(self, model_and_state):
+        """search_by_image must route through the CALIBRATED int8-dataflow
+        encoder after build_gallery swaps it in: a gallery image queried
+        back re-encodes to (near) the same embedding and ranks itself
+        first."""
+        model, state = model_and_state
+        rng = np.random.RandomState(6)
+        batches = [rng.randint(0, 255, (5, 32, 16, 3), dtype=np.uint8)
+                   for _ in range(2)]
+        idx = RetrievalIndex(model, state, use_pallas=False,
+                             int8_encode=True, image_query_batch=4)
+        idx.build_gallery(batches, meta=np.arange(100, 110))
+        queries = np.concatenate(batches)[[1, 6]]
+        scores, meta = idx.search_by_image(queries, k=3)
+        # int8 encode is deterministic: query embedding == gallery row
+        np.testing.assert_array_equal(meta[:, 0], [101, 106])
+        np.testing.assert_allclose(scores[:, 0], 1.0, atol=1e-3)

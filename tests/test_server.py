@@ -477,3 +477,82 @@ class TestGracefulShutdown:
         conn.close()
         closer.join(timeout=30)
         assert not closer.is_alive(), "server_close did not finish drain"
+
+
+class TestImageSearchEndpoint:
+    """POST /search_image: person re-id by example over HTTP."""
+
+    @pytest.fixture()
+    def image_server(self, index):
+        service = RetrievalService(index, max_text_length=MAXLEN,
+                                   image_shape=(32, 16))
+        srv = make_server(service)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        host, port = srv.server_address
+        yield f"http://{host}:{port}", service
+        srv.shutdown()
+
+    @staticmethod
+    def _b64(img):
+        import base64
+        return base64.b64encode(np.asarray(img, np.uint8).tobytes()).decode()
+
+    def test_matches_direct_index_search(self, image_server, index):
+        url, _ = image_server
+        rng = np.random.RandomState(21)
+        imgs = rng.randint(0, 255, (2, 32, 16, 3), dtype=np.uint8)
+        req = urllib.request.Request(
+            url + "/search_image",
+            data=json.dumps({"images_b64": [self._b64(i) for i in imgs],
+                             "k": 3}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+            body = json.loads(resp.read())
+        want_scores, want_meta = index.search_by_image(imgs, k=3)
+        np.testing.assert_allclose(
+            np.asarray(body["scores"], np.float32), want_scores, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(body["meta"]), want_meta)
+        assert body["device_ms"] >= 0 and body["wait_ms"] >= 0
+
+    def test_wrong_byte_count_is_400(self, image_server):
+        url, _ = image_server
+        code, body = _post_expect_error(
+            url, {"images_b64": [self._b64(np.zeros((8, 8, 3)))]},
+            path="/search_image")
+        assert code == 400 and "expected" in body["error"]
+
+    def test_invalid_base64_is_400(self, image_server):
+        url, _ = image_server
+        code, body = _post_expect_error(
+            url, {"images_b64": ["!!not-base64!!"]}, path="/search_image")
+        assert code == 400 and "base64" in body["error"]
+
+    def test_oversize_batch_is_400(self, image_server):
+        url, _ = image_server
+        from textreid_tpu.server import MAX_IMAGE_BATCH
+        one = self._b64(np.zeros((32, 16, 3)))
+        code, body = _post_expect_error(
+            url, {"images_b64": [one] * (MAX_IMAGE_BATCH + 1)},
+            path="/search_image")
+        assert code == 400 and "batch too large" in body["error"]
+
+    def test_disabled_without_image_shape_is_403(self, server):
+        url, _ = server  # module fixture: no image_shape configured
+        code, body = _post_expect_error(
+            url, {"images_b64": [self._b64(np.zeros((32, 16, 3)))]},
+            path="/search_image")
+        assert code == 403 and "not enabled" in body["error"]
+
+    def test_stats_count_image_searches(self, image_server):
+        url, service = image_server
+        rng = np.random.RandomState(22)
+        img = rng.randint(0, 255, (32, 16, 3), dtype=np.uint8)
+        req = urllib.request.Request(
+            url + "/search_image",
+            data=json.dumps({"images_b64": [self._b64(img)]}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+        stats = service.stats()
+        assert stats["search_image"] == 1

@@ -412,3 +412,81 @@ class TestLargeKRouting:
         s2, m2 = plain.search(token_ids, lengths, k=80)
         np.testing.assert_array_equal(m1, m2)
         np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+
+class TestImageQueries:
+    """search_by_image: person re-id by example through the same index."""
+
+    def test_self_query_ranks_itself_first(self, model_and_state):
+        model, state = model_and_state
+        index = RetrievalIndex(model, state, use_pallas=False,
+                               image_query_batch=4)
+        batches = _gallery_batches()
+        index.build_gallery(batches, meta=np.arange(100, 110))
+        gallery_imgs = np.concatenate(batches)
+        queries = gallery_imgs[[0, 3, 7]]
+        scores, meta = index.search_by_image(queries, k=3)
+        assert scores.shape == (3, 3) and meta.shape == (3, 3)
+        # a gallery image queried against the gallery is its own best match
+        np.testing.assert_array_equal(meta[:, 0], [100, 103, 107])
+        np.testing.assert_allclose(scores[:, 0], 1.0, atol=1e-4)
+        assert (np.diff(scores, axis=1) <= 1e-6).all()
+
+    def test_image_query_batch_padding_invariant(self, model_and_state):
+        """Results must not depend on how queries chunk into the fixed
+        image_query_batch shape."""
+        model, state = model_and_state
+        small = RetrievalIndex(model, state, use_pallas=False,
+                               image_query_batch=2)
+        big = RetrievalIndex(model, state, use_pallas=False,
+                             image_query_batch=16)
+        g = _gallery_batches()
+        small.build_gallery(g)
+        big.build_gallery(g)
+        rng = np.random.RandomState(7)
+        queries = rng.randint(0, 255, (5, 32, 16, 3), dtype=np.uint8)
+        s1, m1 = small.search_by_image(queries, k=4)
+        s2, m2 = big.search_by_image(queries, k=4)
+        np.testing.assert_allclose(s1, s2, atol=1e-5)
+        np.testing.assert_array_equal(m1, m2)
+
+    def test_quantized_image_search(self, model_and_state):
+        """int8 gallery scoring serves image queries through the same
+        rank-only program; the exact self-match survives quantization."""
+        model, state = model_and_state
+        index = RetrievalIndex(model, state, use_pallas=False,
+                               quantize=True)
+        batches = _gallery_batches()
+        index.build_gallery(batches, meta=np.arange(100, 110))
+        queries = np.concatenate(batches)[[2, 9]]
+        scores, meta = index.search_by_image(queries, k=2)
+        np.testing.assert_array_equal(meta[:, 0], [102, 109])
+        np.testing.assert_allclose(scores[:, 0], 1.0, atol=0.05)
+
+    def test_mesh_image_search_matches_single_device(self, model_and_state):
+        model, state = model_and_state
+        plain = RetrievalIndex(model, state, use_pallas=False)
+        sharded = RetrievalIndex(model, state, mesh=make_mesh(8),
+                                 use_pallas=False)
+        g = _gallery_batches(n=10)
+        plain.build_gallery(g)
+        sharded.build_gallery(g)  # 10 rows padded to 16 across 8 shards
+        rng = np.random.RandomState(8)
+        queries = rng.randint(0, 255, (3, 32, 16, 3), dtype=np.uint8)
+        s1, m1 = plain.search_by_image(queries, k=3)
+        s2, m2 = sharded.search_by_image(queries, k=3)
+        np.testing.assert_allclose(s1, s2, atol=1e-5)
+        np.testing.assert_array_equal(m1, m2)
+
+    def test_k_beyond_gallery_returns_sentinels(self, model_and_state):
+        model, state = model_and_state
+        index = RetrievalIndex(model, state, use_pallas=False)
+        index.build_gallery(_gallery_batches(n=5, bs=5),
+                            meta=np.arange(5))
+        rng = np.random.RandomState(9)
+        queries = rng.randint(0, 255, (2, 32, 16, 3), dtype=np.uint8)
+        scores, meta = index.search_by_image(queries, k=8)
+        assert scores.shape == (2, 8)
+        assert (meta[:, 5:] == -1).all()
+        assert np.isneginf(scores[:, 5:]).all()
+        assert (meta[:, :5] >= 0).all()

@@ -31,6 +31,12 @@ Endpoints::
                      or {"queries": ["a man in a red jacket"], "k": 10}
     ->                  {"scores": [[...]], "meta": [[...]],
                          "latency_ms": m, "wait_ms": w, "device_ms": d}
+    POST /search_image  {"images_b64": ["<base64 raw uint8 H*W*3>", ...],
+                         "k": 10} — person re-id by example image;
+                        images are raw NHWC uint8 bytes at the service's
+                        configured (H, W), base64-encoded (400 with the
+                        expected shape otherwise; 403 when the service
+                        has no image_shape configured)
     POST /reload_index  {"file": "gallery.idx"} — hot-swap the gallery
                         from a persisted index in the configured reload
                         directory (403 unless enabled)
@@ -55,6 +61,9 @@ from typing import Optional
 import numpy as np
 
 MAX_BATCH = 256  # per-request cap: bound device memory + pad waste
+# Image queries are ~50 KB each on the wire and the visual tower is the
+# expensive encoder; a tighter per-request cap bounds both.
+MAX_IMAGE_BATCH = 32
 # Default canonical k values actually compiled (requests trim down from
 # the next bucket on the host); ordered ascending.  The last bucket is
 # the service's max k — a deliberate contract (each distinct k compiles
@@ -113,10 +122,16 @@ class RetrievalService:
     def __init__(self, index, max_text_length: int = 100,
                  tokenizer: Optional[SimpleTokenizer] = None,
                  default_k: int = 10, batch_window_ms: float = 0.0,
-                 k_buckets=K_BUCKETS, reload_dir: str = ""):
+                 k_buckets=K_BUCKETS, reload_dir: str = "",
+                 image_shape=None):
         self.index = index
         self.max_text_length = int(max_text_length)
         self.tokenizer = tokenizer
+        # (H, W) the visual tower was built for; image queries arrive as
+        # raw uint8 bytes and are validated against it.  None disables
+        # POST /search_image (the service cannot infer a safe reshape).
+        self.image_shape = (tuple(int(s) for s in image_shape)
+                            if image_shape else None)
         self.k_buckets = tuple(sorted(int(b) for b in k_buckets))
         if not self.k_buckets or self.k_buckets[0] < 1:
             raise ValueError(f"invalid k_buckets {k_buckets}")
@@ -140,7 +155,8 @@ class RetrievalService:
         # parse/serialize overhead.
         self._wait_ms = deque(maxlen=1000)
         self._device_ms = deque(maxlen=1000)
-        self._counts = {"search": 0, "errors": 0, "device_batches": 0}
+        self._counts = {"search": 0, "search_image": 0, "errors": 0,
+                        "device_batches": 0}
         self._started = time.time()
         self._auto_window = batch_window_ms == "auto"
         if self._auto_window:
@@ -308,6 +324,75 @@ class RetrievalService:
             lens[i] = ln
         return ids, lens
 
+    def search_image(self, payload: dict) -> dict:
+        """Person re-id by example image (``POST /search_image``).
+
+        Image requests bypass the text micro-batcher (their device batch
+        is the visual tower's fixed chunk, not the text bucket) but share
+        the device lock, the k-bucket contract, and the stats split."""
+        if self.image_shape is None:
+            raise PermissionError(
+                "image search is not enabled (start the service with "
+                "image_shape/--config-file INPUT dims)")
+        pixels = self._parse_images(payload)
+        k = payload.get("k", self.default_k)
+        if not isinstance(k, int) or k < 1 or k > self.k_buckets[-1]:
+            raise ValueError(f"k must be an int in [1, {self.k_buckets[-1]}]")
+        t0 = time.time()
+        k_run = next(b for b in self.k_buckets if b >= k)
+        with self._lock:
+            t_start = time.time()
+            self._counts["device_batches"] += 1
+            scores, meta = self.index.search_by_image(pixels, k=k_run)
+            t_end = time.time()
+        scores, meta = scores[:, :k], meta[:, :k]
+        ms = (time.time() - t0) * 1000
+        wait_ms = (t_start - t0) * 1000
+        device_ms = (t_end - t_start) * 1000
+        with self._stats_lock:
+            self._latencies_ms.append(ms)
+            self._wait_ms.append(wait_ms)
+            self._device_ms.append(device_ms)
+            self._counts["search_image"] += 1
+        return {
+            "scores": [[None if not np.isfinite(v) else float(v)
+                        for v in row] for row in scores],
+            "meta": meta.tolist(),
+            "latency_ms": round(ms, 3),
+            "wait_ms": round(wait_ms, 3),
+            "device_ms": round(device_ms, 3),
+        }
+
+    def _parse_images(self, payload: dict) -> np.ndarray:
+        """Decode ``images_b64`` (raw NHWC uint8 bytes per image, base64)
+        into a [N, H, W, 3] uint8 batch validated against image_shape."""
+        import base64
+        import binascii
+
+        rows = payload.get("images_b64")
+        if not isinstance(rows, list) or not rows:
+            raise ValueError("payload needs images_b64: a non-empty list "
+                             "of base64-encoded raw uint8 H*W*3 images")
+        if len(rows) > MAX_IMAGE_BATCH:
+            raise ValueError(f"batch too large (> {MAX_IMAGE_BATCH})")
+        h, w = self.image_shape
+        expect = h * w * 3
+        out = np.empty((len(rows), h, w, 3), np.uint8)
+        for i, item in enumerate(rows):
+            if not isinstance(item, str):
+                raise ValueError(f"image {i}: images_b64 entries must be "
+                                 "base64 strings")
+            try:
+                raw = base64.b64decode(item, validate=True)
+            except (binascii.Error, ValueError):
+                raise ValueError(f"image {i}: invalid base64")
+            if len(raw) != expect:
+                raise ValueError(
+                    f"image {i}: got {len(raw)} bytes, expected {expect} "
+                    f"(raw uint8 NHWC at H={h}, W={w}, C=3)")
+            out[i] = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+        return out
+
     def reload_index(self, payload: dict) -> dict:
         """Swap the gallery from a persisted index file without restarting
         the service (``POST /reload_index {"file": "gallery.idx"}``).
@@ -421,10 +506,12 @@ def make_server(service: RetrievalService, host: str = "127.0.0.1",
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):  # noqa: N802
-            if self.path not in ("/search", "/reload_index"):
+            if self.path not in ("/search", "/search_image",
+                                 "/reload_index"):
                 self._reply(404, {"error": f"unknown path {self.path}"})
                 return
-            if self.path == "/search" and service.index.gallery is None:
+            if (self.path in ("/search", "/search_image")
+                    and service.index.gallery is None):
                 service.record_error()
                 self._reply(503, {"error": "index not built"})
                 return
@@ -435,6 +522,8 @@ def make_server(service: RetrievalService, host: str = "127.0.0.1",
                     raise ValueError("payload must be a JSON object")
                 if self.path == "/reload_index":
                     self._reply(200, service.reload_index(payload))
+                elif self.path == "/search_image":
+                    self._reply(200, service.search_image(payload))
                 else:
                     self._reply(200, service.search(payload))
             except PermissionError as e:

@@ -2,7 +2,9 @@
 
 The reference stops at offline evaluation; this module packages the towers
 for deployment: build a gallery index once (encode + L2-normalize + optional
-mesh sharding), then answer free-text queries with top-k person matches.
+mesh sharding), then answer free-text queries — or image queries (person
+re-id by example), which the shared embedding space supports for free —
+with top-k person matches.
 
 Design: both towers are jitted once per batch shape; queries run at fixed
 padded batch sizes so repeated calls never recompile.  Ranking uses the
@@ -37,6 +39,7 @@ class RetrievalIndex:
         use_pallas: Optional[bool] = None,
         quantize: bool = False,
         int8_encode: bool = False,
+        image_query_batch: int = 8,
     ):
         # Serving requires packing-invariant text embeddings: the training/
         # eval encoder reproduces torch's pad-packed max-pool, which depends
@@ -50,6 +53,7 @@ class RetrievalIndex:
         self.model = model
         self.state = state
         self.query_batch = query_batch
+        self.image_query_batch = image_query_batch
         self.mesh = mesh
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
@@ -154,8 +158,39 @@ class RetrievalIndex:
                     q, gal, k=k, interpret=interpret)
             return quantized_topk(q, gal, min(k, int(values.shape[0])))
 
+        # Rank-only programs for queries that are ALREADY embeddings
+        # (image queries, precomputed vectors).  Not fused with an encoder:
+        # the image encoder is swappable at runtime (bf16 / int8-dataflow /
+        # interceptor towers share one index), so fusing would freeze one
+        # variant into the ranking executable.
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def _rank_float(gallery, queries, k):
+            if use_pallas and k <= PALLAS_K_MAX:
+                from .ops.ranking_pallas import topk_similarity_padded
+
+                return topk_similarity_padded(queries, gallery, k=k,
+                                              interpret=interpret)
+            sim = queries @ gallery.T
+            return jax.lax.top_k(sim, min(k, int(gallery.shape[0])))
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def _rank_quant(values, scales, queries, k):
+            from .ops.quant import QuantizedGallery, quantized_topk
+
+            gal = QuantizedGallery(values, scales)
+            if use_pallas and k <= PALLAS_K_MAX:
+                from .ops.ranking_pallas import (
+                    topk_similarity_quantized_padded,
+                )
+
+                return topk_similarity_quantized_padded(
+                    queries, gal, k=k, interpret=interpret)
+            return quantized_topk(queries, gal, min(k, int(values.shape[0])))
+
         self._fused_float = _fused_float
         self._fused_quant = _fused_quant
+        self._rank_float = _rank_float
+        self._rank_quant = _rank_quant
 
     # -- gallery ----------------------------------------------------------
     def build_gallery(self, batches, meta=None, valid_rows=None) -> None:
@@ -348,6 +383,28 @@ class RetrievalIndex:
             out.append(np.asarray(emb))  # full fixed-shape chunk
         return np.concatenate(out, axis=0)[:n]
 
+    def encode_image_queries(self, pixels: np.ndarray) -> np.ndarray:
+        """Pixel queries [N,H,W,3] (uint8 or f32) -> normalized embeddings
+        [N,D] (numpy), chunked at the fixed ``image_query_batch`` shape —
+        the same no-recompile contract as :meth:`encode_queries`.  Routes
+        through whichever image encoder the index runs (bf16, int8-dataflow
+        after gallery calibration, interceptor)."""
+        pixels = np.asarray(pixels)
+        n = pixels.shape[0]
+        bs = self.image_query_batch
+        out = []
+        for start in range(0, n, bs):
+            chunk = pixels[start : start + bs]
+            pad = bs - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                )
+            erase = jnp.zeros((bs, 5), jnp.int32)
+            emb = self._encode_images(self.state, jnp.asarray(chunk), erase)
+            out.append(np.asarray(emb))
+        return np.concatenate(out, axis=0)[:n]
+
     def search(self, token_ids: np.ndarray, lengths: np.ndarray,
                k: int = 10):
         """Top-k gallery matches for tokenized text queries.
@@ -357,14 +414,13 @@ class RetrievalIndex:
         ``-inf`` and metadata ``-1`` — a sentinel, never a clipped alias of
         a real id a score-ignoring caller could mistake for a match."""
         assert self.gallery is not None, "call build_gallery first"
-        n_real = len(self.gallery_meta)
         n_q = token_ids.shape[0]
         # Canonicalize the query count to 256-row buckets (the kernel's
         # query tile) IN NUMPY, and slice results back in numpy: letting a
         # raw N reach the device ops compiles a new executable per
         # distinct request-batch size (multi-second p95 through the
         # remote-compile relay; bench.py --server).  Zero-pad rows rank
-        # arbitrarily and are sliced off below.
+        # arbitrarily and are sliced off in _finish.
         bucket = 256
         q_pad = -(-n_q // bucket) * bucket
 
@@ -388,39 +444,77 @@ class RetrievalIndex:
                     self.state, self.gallery, jnp.asarray(ids),
                     jnp.asarray(lens), k)
         else:
-            queries = self.encode_queries(token_ids, lengths)
-            if q_pad != n_q:
-                queries = np.concatenate(
-                    [queries, np.zeros((q_pad - n_q, queries.shape[1]),
-                                       queries.dtype)])
-            queries = jnp.asarray(queries)
-            from .evaluation.retrieval import (
-                sharded_topk_retrieval,
-                sharded_topk_retrieval_quantized,
-            )
+            vals, idx = self._rank_embedded(
+                self.encode_queries(token_ids, lengths), k)
+        return self._finish(vals, idx, n_q, k)
 
-            if self._augmented:
-                queries = jnp.concatenate(
-                    [queries, jnp.ones((queries.shape[0], 1), queries.dtype)],
-                    axis=1,
-                )
-            # clamp to the (padded) row count: requesting more is both
-            # infeasible per-shard and pointless — the sentinel padding
-            # below fills the remaining slots
-            k_run = min(k, int(self.gallery.shape[0]))
+    def search_by_image(self, pixels: np.ndarray, k: int = 10):
+        """Top-k gallery matches for pixel queries [N,H,W,3] — person
+        re-identification by example: the shared embedding space ranks
+        image queries against the same image gallery the text path serves.
+        Return contract identical to :meth:`search` (scores [N,k],
+        metadata [N,k], sentinel ``-inf``/``-1`` beyond the real gallery).
+
+        Two dispatches (encode, rank) rather than the text path's fused
+        one — see the rank-only program note in ``__init__``."""
+        assert self.gallery is not None, "call build_gallery first"
+        n_q = np.asarray(pixels).shape[0]
+        queries = self.encode_image_queries(pixels)
+        vals, idx = self._rank_embedded(queries, k)
+        return self._finish(vals, idx, n_q, k)
+
+    def _rank_embedded(self, queries: np.ndarray, k: int):
+        """Rank already-normalized query embeddings [N,D]: pad to the
+        256-row bucket (host-side, same no-recompile rationale as
+        :meth:`search`), run the single-device or mesh-sharded ranking
+        program, return device results still padded to the bucket."""
+        n_q = queries.shape[0]
+        bucket = 256
+        q_pad = -(-n_q // bucket) * bucket
+        if q_pad != n_q:
+            queries = np.concatenate(
+                [queries, np.zeros((q_pad - n_q, queries.shape[1]),
+                                   queries.dtype)])
+        if self.mesh is None:
+            q = jnp.asarray(queries)
             if self.quantize:
-                vals, idx = sharded_topk_retrieval_quantized(
-                    self.mesh, queries, self._quant_gallery, k=k_run,
-                    use_pallas=self.use_pallas, interpret=self._interpret,
-                )
-            else:
-                vals, idx = sharded_topk_retrieval(
-                    self.mesh, queries, self.gallery, k=k_run,
-                    use_pallas=self.use_pallas, interpret=self._interpret,
-                )
+                return self._rank_quant(
+                    self._quant_gallery.values, self._quant_gallery.scales,
+                    q, k)
+            return self._rank_float(self.gallery, q, k)
 
+        queries = jnp.asarray(queries)
+        from .evaluation.retrieval import (
+            sharded_topk_retrieval,
+            sharded_topk_retrieval_quantized,
+        )
+
+        if self._augmented:
+            queries = jnp.concatenate(
+                [queries, jnp.ones((queries.shape[0], 1), queries.dtype)],
+                axis=1,
+            )
+        # clamp to the (padded) row count: requesting more is both
+        # infeasible per-shard and pointless — the sentinel padding
+        # in _finish fills the remaining slots
+        k_run = min(k, int(self.gallery.shape[0]))
+        if self.quantize:
+            return sharded_topk_retrieval_quantized(
+                self.mesh, queries, self._quant_gallery, k=k_run,
+                use_pallas=self.use_pallas, interpret=self._interpret,
+            )
+        return sharded_topk_retrieval(
+            self.mesh, queries, self.gallery, k=k_run,
+            use_pallas=self.use_pallas, interpret=self._interpret,
+        )
+
+    def _finish(self, vals, idx, n_q: int, k: int):
+        """Trim bucket padding, pad k out to the request (XLA top_k caps at
+        the gallery size), and map device row indices to caller metadata
+        with the sentinel contract (-inf score, -1 meta)."""
+        n_real = len(self.gallery_meta)
         vals, idx_np = np.asarray(vals)[:n_q], np.asarray(idx)[:n_q]
-        if vals.shape[1] < k:  # XLA top_k caps at the gallery size
+        if vals.shape[1] < k:
             pad = k - vals.shape[1]
             vals = np.pad(vals, ((0, 0), (0, pad)),
                           constant_values=-np.inf)

@@ -14,6 +14,9 @@ stops at offline evaluation; this is the deployment end of the pipeline:
 Then:
   curl localhost:8080/healthz
   curl -XPOST localhost:8080/search -d '{"token_ids": [[12, 7, 44]], "k": 5}'
+  # person re-id by example: raw uint8 NHWC bytes at INPUT.HEIGHTxWIDTH
+  curl -XPOST localhost:8080/search_image \
+      -d "{\"images_b64\": [\"$(base64 -w0 crop_384x128.raw)\"], \"k\": 5}"
 """
 
 import argparse
@@ -97,7 +100,8 @@ def main():
         index, max_text_length=cfg.INPUT.MAX_TEXT_LENGTH,
         tokenizer=tokenizer, batch_window_ms=window,
         k_buckets=[int(b) for b in args.k_buckets.split(",")],
-        reload_dir=args.reload_dir)
+        reload_dir=args.reload_dir,
+        image_shape=(cfg.INPUT.HEIGHT, cfg.INPUT.WIDTH))
 
     # warm the jit caches before accepting traffic: first-query latency on
     # TPU is a compile (~seconds), not a search
