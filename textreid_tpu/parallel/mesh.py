@@ -21,6 +21,21 @@ contracts over the split dimension and XLA inserts the partial-sum
 RN50+bi-GRU scale the axis stays size 1 (tensor parallelism has nothing to
 shard in a conv trunk this size); the knob exists for the ViT/full-CLIP
 family where the MLPs are ~2/3 of tower FLOPs.
+
+Attention projections stay replicated — considered and rejected, not an
+oversight: the blocks keep CLIP's fused ``[q;k;v]`` Dense layout (the
+checkpoint's ``in_proj_weight``), and a column split of that 3W output
+dim does not tile head-aligned — ``jnp.split(qkv, 3)`` boundaries straddle
+GSPMD tiles for any model-axis size not divisible by 3, so the partitioner
+inserts a per-block activation reshard (all-gather) between the qkv matmul
+and the attention einsum, exactly the communication Megatron's head-local
+design exists to avoid.  Making it head-aligned means either per-head
+parameter layouts (breaking checkpoint-layout parity and the fused-QKV
+Pallas kernel's BlockSpec index maps) or sharding constraints inside the
+attention op (breaking the placements-only design).  With FFN-only TP the
+replicated remainder is the attention pair (~1/3 of block matmul FLOPs)
+plus LN — acceptable at these tower sizes, and revisitable if a
+head-aligned QKV layout ever becomes the checkpoint format.
 """
 
 from __future__ import annotations
