@@ -225,11 +225,15 @@ def bench_train_step():
     # the CLIP text transformer (the full-CLIP flagship,
     # configs/cuhkpedes/moco_fullclip_vitb16_ls_bs128_2048.yaml shapes).
     # BENCH_TRAIN_FUSED_ATTN=1 additionally turns on the Pallas attention
-    # kernels (fwd + bwd through the hybrid VJP) — together they measure
-    # the fused-attention win on a REAL optimization step, not just the
-    # standalone forward stage.
+    # kernels — together they measure the fused-attention win on a REAL
+    # optimization step, not just the standalone forward stage.
+    # BENCH_TRAIN_ATTN_MODE picks the lowering: "on" forces Pallas fwd+bwd
+    # on BOTH towers (the legacy _fusedattn artifacts); unset uses the
+    # probe-informed config defaults (visual "bwd", text "off") and tags
+    # the artifact _fusedattn_bwd.
     variant = os.environ.get("BENCH_TRAIN_MODEL", "")
     fused = os.environ.get("BENCH_TRAIN_FUSED_ATTN", "") == "1"
+    attn_mode = os.environ.get("BENCH_TRAIN_ATTN_MODE", "")
     if variant not in ("", "vit", "fullclip"):
         raise SystemExit(f"unknown BENCH_TRAIN_MODEL={variant!r} "
                          f"(expected '', 'vit' or 'fullclip')")
@@ -247,6 +251,9 @@ def bench_train_step():
         cfg.MODEL.TRANSFORMER.CONTEXT_LENGTH = TOKENS
     if fused:
         cfg.TPU.FUSED_ATTENTION = True
+        if attn_mode:
+            cfg.TPU.FUSED_ATTENTION_MODE = attn_mode
+            cfg.TPU.FUSED_ATTENTION_TEXT_MODE = attn_mode
 
     bs = int(os.environ.get("BENCH_TRAIN_BS", BATCH))
     assert cfg.MODEL.MOCO.K % bs == 0, (cfg.MODEL.MOCO.K, bs)
@@ -286,7 +293,14 @@ def bench_train_step():
     dt = time.time() - t0
     step_s = dt / n
     log(f"train step: {step_s * 1000:.0f} ms ({bs / step_s:.0f} img/s)")
-    tag = (f"_{variant}" if variant else "") + ("_fusedattn" if fused else "")
+    # legacy tag `_fusedattn` = forced "on" everywhere; default-config runs
+    # (visual "bwd" + text "off") get their own suffix so the two artifact
+    # families stay distinguishable
+    fused_tag = ""
+    if fused:
+        fused_tag = ("_fusedattn" if attn_mode == "on"
+                     else f"_fusedattn_{attn_mode or 'bwd'}")
+    tag = (f"_{variant}" if variant else "") + fused_tag
     result = {
         "metric": f"moco_train_step_ms_bs{bs}{tag}",
         "value": round(step_s * 1000, 2),

@@ -269,3 +269,90 @@ class TestTowerIntegration:
         for r, g in zip(flat_r, flat_g):
             np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                        atol=1e-4, rtol=1e-4)
+
+
+class TestBwdMode:
+    """"bwd" mode (XLA forward + Pallas backward) — the on-chip winner for
+    ViT-B/16 training (tools/attn_probe.py; defaults.py TPU section)."""
+
+    def test_hybrid_xla_fwd_is_exact(self):
+        # pallas_fwd=False: the primal IS the XLA formulation, bitwise
+        qkv = _qkv(jax.random.PRNGKey(20), 2, 21, 2, 16, jnp.float32)
+        out = hybrid_attention(qkv, 2, False, None, 8, True, True, 4, None,
+                               False)
+        ref = xla_attention(qkv, heads=2, causal=False)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_hybrid_xla_fwd_pallas_bwd_grads(self):
+        qkv = _qkv(jax.random.PRNGKey(21), 2, 33, 4, 16, jnp.float32)
+
+        def loss_h(t):
+            return jnp.sum(jnp.sin(hybrid_attention(
+                t, 4, True, None, 8, True, True, 4, None, False)))
+
+        def loss_x(t):
+            return jnp.sum(jnp.sin(xla_attention(t, heads=4, causal=True)))
+
+        g_h = jax.grad(loss_h)(qkv)
+        g_x = jax.grad(loss_x)(qkv)
+        np.testing.assert_allclose(np.asarray(g_h), np.asarray(g_x),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_block_bwd_mode_matches_off(self):
+        """A TransformerBlock in "bwd" mode: identical forward to the XLA
+        block (same lowering), gradients equal to kernel tolerance."""
+        from textreid_tpu.models.vit import VisionTransformer
+
+        def vit(mode, interp):
+            return VisionTransformer(
+                input_resolution=(48, 32), patch_size=16, width=64,
+                layers=2, heads=2, output_dim=32, dtype=jnp.float32,
+                fused_attention=mode, attn_interpret=interp)
+
+        x = jax.random.normal(jax.random.PRNGKey(22), (3, 48, 32, 3))
+        base = vit(False, False)
+        params = base.init(jax.random.PRNGKey(23), x)
+        np.testing.assert_array_equal(
+            np.asarray(vit("bwd", True).apply(params, x)),
+            np.asarray(base.apply(params, x)))
+        g_ref = jax.grad(lambda p: jnp.sum(base.apply(p, x) ** 2))(params)
+        g_got = jax.grad(
+            lambda p: jnp.sum(vit("bwd", True).apply(p, x) ** 2))(params)
+        for r, g in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_mode_normalization_and_cfg_resolution(self):
+        from textreid_tpu.config import get_default_cfg
+        from textreid_tpu.models.vit import (attention_mode,
+                                             fused_attention_from_cfg)
+
+        assert attention_mode(False) == "off"
+        assert attention_mode(True) == "on"
+        assert attention_mode("bwd") == "bwd"
+        with pytest.raises(ValueError, match="fused-attention mode"):
+            attention_mode("sideways")
+
+        cfg = get_default_cfg()
+        # gate off: "off" for both towers regardless of backend
+        assert fused_attention_from_cfg(cfg, "visual") == "off"
+        assert fused_attention_from_cfg(cfg, "text") == "off"
+        with pytest.raises(ValueError, match="unknown tower"):
+            fused_attention_from_cfg(cfg, "audio")
+        cfg.TPU.FUSED_ATTENTION = True
+        if jax.default_backend() == "tpu":  # pragma: no cover - CPU CI
+            assert fused_attention_from_cfg(cfg, "visual") == "bwd"
+            assert fused_attention_from_cfg(cfg, "text") == "off"
+        else:
+            # non-TPU backends never enable the kernel
+            assert fused_attention_from_cfg(cfg, "visual") == "off"
+
+    def test_bad_mode_rejected_in_block(self):
+        from textreid_tpu.models.vit import VisionTransformer
+
+        x = jax.random.normal(jax.random.PRNGKey(24), (1, 48, 32, 3))
+        bad = VisionTransformer(
+            input_resolution=(48, 32), patch_size=16, width=64, layers=1,
+            heads=2, output_dim=32, fused_attention="sideways")
+        with pytest.raises(ValueError, match="fused-attention mode"):
+            bad.init(jax.random.PRNGKey(25), x)

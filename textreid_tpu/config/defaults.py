@@ -181,11 +181,24 @@ _C.TPU.COMPUTE_DTYPE = "bfloat16"
 _C.TPU.GRU_PALLAS = False
 # Transformer towers (ViT visual, CLIP text) compute attention with the
 # fused Pallas kernel (ops/attention_pallas.py): the [S, S] score tile
-# stays in VMEM instead of XLA streaming [B, H, S, S] logits through HBM,
-# and the QKV split/head-reshape passes fold into BlockSpec index maps.
-# Differentiable (custom VJP; backward recomputes through the XLA
-# formulation).  TPU backend only; ignored elsewhere.
+# stays in VMEM instead of XLA streaming [B, H, S, S] logits through HBM.
+# Differentiable (custom VJP with a Pallas backward).  TPU backend only;
+# ignored elsewhere.  The two MODE keys below pick the lowering per tower
+# when this gate is on.
 _C.TPU.FUSED_ATTENTION = False
+# Visual-tower lowering: "on" = Pallas fwd + bwd, "bwd" = XLA fwd +
+# Pallas bwd, "off" = XLA.  Default "bwd" is the on-chip winner at the
+# ViT-B/16 flagship shape (v5e, tools/attn_probe.py: fwd XLA 1.72 ms vs
+# kernel 1.87, bwd kernel 3.54 ms vs XLA VJP 4.26; bench.py --train A/B:
+# 205 -> 197 ms all-Pallas, XLA-fwd hybrid better still) — XLA only pays
+# the [B, H, S, S] HBM tax on the backward's probability residuals.
+_C.TPU.FUSED_ATTENTION_MODE = "bwd"
+# Text-tower lowering.  Default "off": at the CLIP text shape (S=77) the
+# XLA formulation wins BOTH directions (fwd 0.105 ms vs kernel 0.348,
+# bwd 0.329 vs 0.713 — the sequence is too short to amortize the split
+# layout's transpose passes), and the fullclip train A/B confirms it
+# end-to-end (235 -> 242 ms with both towers fused "on").
+_C.TPU.FUSED_ATTENTION_TEXT_MODE = "off"
 # Ship uint8 pixels and fuse /255 -> normalize -> random-erase fill into the
 # jitted device step (4x less host->device traffic than f32). False restores
 # the reference's all-host float pipeline.

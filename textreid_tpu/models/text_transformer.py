@@ -34,6 +34,8 @@ TPU-first notes:
 
 from __future__ import annotations
 
+from typing import Union
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -58,8 +60,8 @@ class TextTransformer(nn.Module):
     heads: int = 8
     output_dim: int = 512
     dtype: jnp.dtype = jnp.float32
-    # Fused Pallas attention (see models/vit.py:TransformerBlock).
-    fused_attention: bool = False
+    # Fused Pallas attention mode (see models/vit.py:TransformerBlock).
+    fused_attention: Union[bool, str] = False
     attn_interpret: bool = False
 
     @property
@@ -157,6 +159,6 @@ def build_text_transformer(cfg, dtype=jnp.float32) -> TextTransformer:
         vocab_size=t.VOCAB_SIZE,
         context_length=t.CONTEXT_LENGTH,
         dtype=dtype,
-        fused_attention=fused_attention_from_cfg(cfg),
+        fused_attention=fused_attention_from_cfg(cfg, tower="text"),
         **spec,
     )

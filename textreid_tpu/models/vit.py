@@ -16,13 +16,29 @@ embedding at weight-conversion time, same as the RN path
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Tuple, Union
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+# Valid fused-attention modes (see TransformerBlock.fused_attention).
+ATTENTION_MODES = ("off", "on", "bwd")
+
+
+def attention_mode(value) -> str:
+    """Normalize a fused-attention mode: bools map to "off"/"on" (the
+    pre-mode API, kept so existing call sites and tests stay valid),
+    strings are validated against ``ATTENTION_MODES``."""
+    if isinstance(value, bool):
+        return "on" if value else "off"
+    if value not in ATTENTION_MODES:
+        raise ValueError(
+            f"unknown fused-attention mode {value!r}; expected a bool or "
+            f"one of {ATTENTION_MODES}")
+    return value
 
 
 class TransformerBlock(nn.Module):
@@ -36,9 +52,15 @@ class TransformerBlock(nn.Module):
     # Fused Pallas attention (ops/attention_pallas.py): the [S, S] score
     # tile stays in VMEM instead of streaming [B, H, S, S] logits through
     # HBM, and the QKV split/head-reshape passes vanish into BlockSpec
-    # index maps.  Differentiable (hybrid custom VJP: XLA recompute
-    # backward).  Param tree is identical either way.
-    fused_attention: bool = False
+    # index maps.  Mode (normalized by ``attention_mode``):
+    #   False / "off"  — XLA formulation, fwd and bwd (the default);
+    #   True  / "on"   — Pallas kernel, fwd and bwd;
+    #   "bwd"          — XLA fwd + Pallas bwd: the combination
+    #                    tools/attn_probe.py measures fastest for ViT-B/16
+    #                    training on v5e (XLA only loses on the backward's
+    #                    [B, H, S, S] probability residual traffic).
+    # Param tree is identical in every mode.
+    fused_attention: Union[bool, str] = False
     # Run the Pallas kernel in interpreter mode (CPU tests only).
     attn_interpret: bool = False
 
@@ -47,11 +69,13 @@ class TransformerBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
         width = h.shape[-1]
         qkv = nn.Dense(3 * width, dtype=self.dtype, name="qkv")(h)
-        if self.fused_attention:
+        mode = attention_mode(self.fused_attention)
+        if mode != "off":
             from ..ops.attention_pallas import hybrid_attention
 
             attn = hybrid_attention(qkv, self.heads, self.causal, None,
-                                    8, self.attn_interpret)
+                                    8, self.attn_interpret,
+                                    pallas_fwd=(mode == "on"))
         else:
             # same contract as the kernel's agreement oracle — one
             # definition of the math, two lowerings
@@ -75,7 +99,7 @@ class VisionTransformer(nn.Module):
     heads: int = 12
     output_dim: int = 512
     dtype: jnp.dtype = jnp.float32
-    fused_attention: bool = False
+    fused_attention: Union[bool, str] = False
     attn_interpret: bool = False
 
     @property
@@ -154,12 +178,27 @@ VIT_SPECS = {
 }
 
 
-def fused_attention_from_cfg(cfg) -> bool:
-    """``TPU.FUSED_ATTENTION`` gates the Pallas attention kernel; it only
-    applies on the TPU backend (no compiled CPU lowering — CPU tests use
-    the modules' ``attn_interpret`` escape hatch directly)."""
-    return (bool(getattr(cfg.TPU, "FUSED_ATTENTION", False))
-            and jax.default_backend() == "tpu")
+def fused_attention_from_cfg(cfg, tower: str = "visual") -> str:
+    """Resolve the fused-attention mode for one tower.
+
+    ``TPU.FUSED_ATTENTION`` is the on/off gate; when on, the lowering is
+    picked per tower — ``TPU.FUSED_ATTENTION_MODE`` for the visual
+    transformer, ``TPU.FUSED_ATTENTION_TEXT_MODE`` for the text
+    transformer — because the on-chip A/B (tools/attn_probe.py +
+    ``bench.py --train`` variants) shows the kernels WIN at the ViT shape
+    (S=193: step 205->197 ms all-Pallas, XLA-fwd+Pallas-bwd better still)
+    and LOSE at the CLIP text shape (S=77: fullclip step 235->242 ms with
+    both towers fused), so one global lowering cannot be right for both.
+    Only applies on the TPU backend (no compiled CPU lowering — CPU tests
+    use the modules' ``attn_interpret`` escape hatch directly)."""
+    if tower not in ("visual", "text"):
+        raise ValueError(f"unknown tower {tower!r}")
+    if not (bool(getattr(cfg.TPU, "FUSED_ATTENTION", False))
+            and jax.default_backend() == "tpu"):
+        return "off"
+    key = ("FUSED_ATTENTION_MODE" if tower == "visual"
+           else "FUSED_ATTENTION_TEXT_MODE")
+    return attention_mode(getattr(cfg.TPU, key, "on"))
 
 
 def build_vit(cfg, dtype=jnp.float32) -> VisionTransformer:

@@ -31,7 +31,11 @@ backward is the Pallas backward kernel by default (scores recomputed in
 VMEM, dqkv emitted through the same head slabs — probabilities are never
 stored as residuals nor re-streamed); ``pallas_bwd=False`` falls back to
 differentiating the bit-equivalent XLA formulation, the conservative
-pattern ``ops/gru_pallas.make_hybrid_scan`` uses.
+pattern ``ops/gru_pallas.make_hybrid_scan`` uses.  ``pallas_fwd=False``
+pairs the XLA forward with the Pallas backward — the fastest measured
+combination for ViT-B/16 training on v5e (tools/attn_probe.py: the
+backward is where XLA pays the [B, H, S, S] HBM tax, the forward it
+fuses well enough to beat the split-layout kernel's transpose passes).
 
 Both kernels are mesh-native: a ``custom_partitioning`` rule shares only
 the batch factor, so a batch-sharded jit runs one kernel per device on
@@ -495,36 +499,48 @@ def xla_attention(qkv, *, heads: int, causal: bool = False,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
+                   nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9))
 def hybrid_attention(qkv, heads: int, causal: bool = False,
                      scale: float | None = None, block_batch: int = 8,
                      interpret: bool = False, pallas_bwd: bool = True,
-                     bwd_block_batch: int = 4, layout: str | None = None):
+                     bwd_block_batch: int = 4, layout: str | None = None,
+                     pallas_fwd: bool = True):
     """Differentiable fused attention, usable in train and eval alike.
 
-    Forward is always the Pallas kernel.  Backward is the Pallas backward
-    kernel by default (``fused_attention_bwd`` — score tiles recomputed in
-    VMEM, no [B, H, S, S] HBM traffic in the grad either); ``pallas_bwd=
-    False`` falls back to differentiating the XLA formulation (recompute),
-    the conservative path the GRU hybrid uses.  ``block_batch`` tunes the
-    forward's sample block, ``bwd_block_batch`` the backward's (its tiles
-    are ~2x bigger, hence the smaller default); ``layout`` picks the block
-    layout for both (None = ``DEFAULT_LAYOUT``)."""
-    return fused_attention(qkv, heads=heads, causal=causal, scale=scale,
-                           block_batch=block_batch, interpret=interpret,
-                           layout=layout)
+    Forward is the Pallas kernel by default; ``pallas_fwd=False`` runs the
+    XLA formulation instead while KEEPING the Pallas backward — the
+    combination tools/attn_probe.py measures fastest at the ViT-B/16
+    flagship shape on v5e (fwd: XLA 1.72 ms vs kernel 1.87; bwd: kernel
+    3.54 ms vs XLA VJP 4.26 — the backward's [B, H, S, S] probability
+    residual/re-stream is where XLA loses, not the forward).  Backward is
+    the Pallas backward kernel by default (``fused_attention_bwd`` — score
+    tiles recomputed in VMEM, no [B, H, S, S] HBM traffic in the grad
+    either); ``pallas_bwd=False`` falls back to differentiating the XLA
+    formulation (recompute), the conservative path the GRU hybrid uses.
+    ``block_batch`` tunes the forward's sample block, ``bwd_block_batch``
+    the backward's (its tiles are ~2x bigger, hence the smaller default);
+    ``layout`` picks the block layout for both (None = ``DEFAULT_LAYOUT``).
+    """
+    if pallas_fwd:
+        return fused_attention(qkv, heads=heads, causal=causal, scale=scale,
+                               block_batch=block_batch, interpret=interpret,
+                               layout=layout)
+    return xla_attention(qkv, heads=heads, causal=causal, scale=scale)
 
 
 def _hybrid_fwd(qkv, heads, causal, scale, block_batch, interpret,
-                pallas_bwd, bwd_block_batch, layout):
-    out = fused_attention(qkv, heads=heads, causal=causal, scale=scale,
-                          block_batch=block_batch, interpret=interpret,
-                          layout=layout)
+                pallas_bwd, bwd_block_batch, layout, pallas_fwd):
+    if pallas_fwd:
+        out = fused_attention(qkv, heads=heads, causal=causal, scale=scale,
+                              block_batch=block_batch, interpret=interpret,
+                              layout=layout)
+    else:
+        out = xla_attention(qkv, heads=heads, causal=causal, scale=scale)
     return out, qkv
 
 
 def _hybrid_bwd(heads, causal, scale, block_batch, interpret, pallas_bwd,
-                bwd_block_batch, layout, qkv, g):
+                bwd_block_batch, layout, pallas_fwd, qkv, g):
     if pallas_bwd:
         return (fused_attention_bwd(qkv, g, heads=heads, causal=causal,
                                     scale=scale,
