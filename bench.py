@@ -229,8 +229,8 @@ def bench_train_step():
     # optimization step, not just the standalone forward stage.
     # BENCH_TRAIN_ATTN_MODE picks the lowering: "on" forces Pallas fwd+bwd
     # on BOTH towers (the legacy _fusedattn artifacts); unset uses the
-    # probe-informed config defaults (visual "bwd", text "off") and tags
-    # the artifact _fusedattn_bwd.
+    # A/B-informed config defaults (visual "on", text "off") and tags the
+    # artifact with the visual mode.
     variant = os.environ.get("BENCH_TRAIN_MODEL", "")
     fused = os.environ.get("BENCH_TRAIN_FUSED_ATTN", "") == "1"
     attn_mode = os.environ.get("BENCH_TRAIN_ATTN_MODE", "")
@@ -293,13 +293,13 @@ def bench_train_step():
     dt = time.time() - t0
     step_s = dt / n
     log(f"train step: {step_s * 1000:.0f} ms ({bs / step_s:.0f} img/s)")
-    # legacy tag `_fusedattn` = forced "on" everywhere; default-config runs
-    # (visual "bwd" + text "off") get their own suffix so the two artifact
-    # families stay distinguishable
+    # legacy tag `_fusedattn` = forced "on" on BOTH towers; default-config
+    # runs (per-tower modes from defaults.py) record the visual mode so
+    # the artifact families stay distinguishable
     fused_tag = ""
     if fused:
         fused_tag = ("_fusedattn" if attn_mode == "on"
-                     else f"_fusedattn_{attn_mode or 'bwd'}")
+                     else f"_fusedattn_{cfg.TPU.FUSED_ATTENTION_MODE}")
     tag = (f"_{variant}" if variant else "") + fused_tag
     result = {
         "metric": f"moco_train_step_ms_bs{bs}{tag}",

@@ -341,7 +341,7 @@ class TestBwdMode:
             fused_attention_from_cfg(cfg, "audio")
         cfg.TPU.FUSED_ATTENTION = True
         if jax.default_backend() == "tpu":  # pragma: no cover - CPU CI
-            assert fused_attention_from_cfg(cfg, "visual") == "bwd"
+            assert fused_attention_from_cfg(cfg, "visual") == "on"
             assert fused_attention_from_cfg(cfg, "text") == "off"
         else:
             # non-TPU backends never enable the kernel

@@ -187,12 +187,14 @@ _C.TPU.GRU_PALLAS = False
 # when this gate is on.
 _C.TPU.FUSED_ATTENTION = False
 # Visual-tower lowering: "on" = Pallas fwd + bwd, "bwd" = XLA fwd +
-# Pallas bwd, "off" = XLA.  Default "bwd" is the on-chip winner at the
-# ViT-B/16 flagship shape (v5e, tools/attn_probe.py: fwd XLA 1.72 ms vs
-# kernel 1.87, bwd kernel 3.54 ms vs XLA VJP 4.26; bench.py --train A/B:
-# 205 -> 197 ms all-Pallas, XLA-fwd hybrid better still) — XLA only pays
-# the [B, H, S, S] HBM tax on the backward's probability residuals.
-_C.TPU.FUSED_ATTENTION_MODE = "bwd"
+# Pallas bwd, "off" = XLA.  Default "on" per the step-level A/B on v5e
+# (bench.py --train, BENCH_TRAIN_BS128_VIT*.json): ViT-B/16 MoCo step
+# 205.1 ms XLA -> 196.7 ms all-Pallas -> 205.2 ms "bwd".  The standalone
+# probe (tools/attn_probe.py) has XLA's lone forward slightly ahead of
+# the kernel (1.72 vs 1.87 ms), but inside the real step that edge
+# disappears — the step-level artifacts, not the standalone ladder, set
+# this default.
+_C.TPU.FUSED_ATTENTION_MODE = "on"
 # Text-tower lowering.  Default "off": at the CLIP text shape (S=77) the
 # XLA formulation wins BOTH directions (fwd 0.105 ms vs kernel 0.348,
 # bwd 0.329 vs 0.713 — the sequence is too short to amortize the split

@@ -54,11 +54,15 @@ class TransformerBlock(nn.Module):
     # HBM, and the QKV split/head-reshape passes vanish into BlockSpec
     # index maps.  Mode (normalized by ``attention_mode``):
     #   False / "off"  — XLA formulation, fwd and bwd (the default);
-    #   True  / "on"   — Pallas kernel, fwd and bwd;
-    #   "bwd"          — XLA fwd + Pallas bwd: the combination
-    #                    tools/attn_probe.py measures fastest for ViT-B/16
-    #                    training on v5e (XLA only loses on the backward's
-    #                    [B, H, S, S] probability residual traffic).
+    #   True  / "on"   — Pallas kernel, fwd and bwd — the step-level
+    #                    winner for ViT-B/16 training on v5e (bench.py
+    #                    --train A/B: 205.1 -> 196.7 ms);
+    #   "bwd"          — XLA fwd + Pallas bwd.  The standalone probe
+    #                    predicted this fastest (XLA's lone fwd 1.72 ms vs
+    #                    the kernel's 1.87) but the step-level A/B refutes
+    #                    it (205.2 ms — the XLA fwd loses its standalone
+    #                    edge inside the full step); kept as a measured
+    #                    escape hatch.
     # Param tree is identical in every mode.
     fused_attention: Union[bool, str] = False
     # Run the Pallas kernel in interpreter mode (CPU tests only).
@@ -184,11 +188,12 @@ def fused_attention_from_cfg(cfg, tower: str = "visual") -> str:
     ``TPU.FUSED_ATTENTION`` is the on/off gate; when on, the lowering is
     picked per tower — ``TPU.FUSED_ATTENTION_MODE`` for the visual
     transformer, ``TPU.FUSED_ATTENTION_TEXT_MODE`` for the text
-    transformer — because the on-chip A/B (tools/attn_probe.py +
-    ``bench.py --train`` variants) shows the kernels WIN at the ViT shape
-    (S=193: step 205->197 ms all-Pallas, XLA-fwd+Pallas-bwd better still)
-    and LOSE at the CLIP text shape (S=77: fullclip step 235->242 ms with
-    both towers fused), so one global lowering cannot be right for both.
+    transformer — because the on-chip step-level A/B (``bench.py --train``
+    variants, BENCH_TRAIN_BS128_*.json) shows the kernels WIN at the ViT
+    shape (S=193: step 205.1 -> 196.7 ms all-Pallas; the XLA-fwd "bwd"
+    hybrid measures 205.2, no better than XLA) and LOSE at the CLIP text
+    shape (S=77: fullclip step 235 -> 242 ms with both towers fused), so
+    one global lowering cannot be right for both.
     Only applies on the TPU backend (no compiled CPU lowering — CPU tests
     use the modules' ``attn_interpret`` escape hatch directly)."""
     if tower not in ("visual", "text"):
