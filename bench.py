@@ -201,24 +201,11 @@ def bench_train_step():
     import jax
     import jax.numpy as jnp
 
-    from textreid_tpu.config import get_default_cfg
+    from textreid_tpu.config import flagship_batch, flagship_cfg
     from textreid_tpu.engine import create_train_state, make_train_step
     from textreid_tpu.models import build_model
     from textreid_tpu.solver import make_optimizer
     from textreid_tpu.solver.build import set_learning_rate
-
-    cfg = get_default_cfg()
-    cfg.TPU.ALLOW_RANDOM_VOCAB = True  # synthetic bench: no vocab .npy
-    cfg.MODEL.VISUAL_MODEL = "m_resnet50"
-    cfg.MODEL.TEXTUAL_MODEL = "bigru"
-    cfg.MODEL.GRU.ONEHOT = "clip_vit"
-    cfg.MODEL.GRU.VOCABULARY_SIZE = 512
-    cfg.MODEL.RESNET.RES5_STRIDE = 1
-    cfg.MODEL.EMBEDDING.EMBED_HEAD = "moco"
-    cfg.MODEL.EMBEDDING.FEATURE_SIZE = 256
-    cfg.MODEL.MOCO.FC = False
-    cfg.MODEL.MOCO.K = 2048
-    cfg.INPUT.HEIGHT, cfg.INPUT.WIDTH = 384, 128
 
     # BENCH_TRAIN_MODEL=vit swaps in the ViT-B/16 stretch backbone;
     # BENCH_TRAIN_MODEL=fullclip additionally swaps the textual tower for
@@ -234,38 +221,16 @@ def bench_train_step():
     variant = os.environ.get("BENCH_TRAIN_MODEL", "")
     fused = os.environ.get("BENCH_TRAIN_FUSED_ATTN", "") == "1"
     attn_mode = os.environ.get("BENCH_TRAIN_ATTN_MODE", "")
-    if variant not in ("", "vit", "fullclip"):
-        raise SystemExit(f"unknown BENCH_TRAIN_MODEL={variant!r} "
-                         f"(expected '', 'vit' or 'fullclip')")
-    if fused and not variant:
-        # RN50+bi-GRU has no transformer tower: the knob would be a no-op
-        # yet still tag the artifact as a fused-attention measurement
-        raise SystemExit("BENCH_TRAIN_FUSED_ATTN=1 requires "
-                         "BENCH_TRAIN_MODEL=vit or fullclip")
-    if variant in ("vit", "fullclip"):
-        cfg.MODEL.VISUAL_MODEL = "clip_vit_b16"
-    if variant == "fullclip":
-        cfg.MODEL.TEXTUAL_MODEL = "transformer"
-        cfg.MODEL.TRANSFORMER.ARCH = "clip_text_b16"
-        cfg.MODEL.TRANSFORMER.VOCAB_SIZE = 49408
-        cfg.MODEL.TRANSFORMER.CONTEXT_LENGTH = TOKENS
-    if fused:
-        cfg.TPU.FUSED_ATTENTION = True
-        if attn_mode:
-            cfg.TPU.FUSED_ATTENTION_MODE = attn_mode
-            cfg.TPU.FUSED_ATTENTION_TEXT_MODE = attn_mode
+    try:
+        cfg = flagship_cfg(variant, fused_attention=fused,
+                           attn_mode=attn_mode, tokens=TOKENS)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
     bs = int(os.environ.get("BENCH_TRAIN_BS", BATCH))
     assert cfg.MODEL.MOCO.K % bs == 0, (cfg.MODEL.MOCO.K, bs)
     model = build_model(cfg, dtype=jnp.bfloat16)
-    rng = np.random.RandomState(0)
-    batch = {
-        "pixels": rng.randint(0, 255, (bs, 384, 128, 3), dtype=np.uint8),
-        "erase": np.zeros((bs, 5), np.int32),
-        "token_ids": rng.randint(1, 512, (bs, TOKENS)).astype(np.int32),
-        "lengths": rng.randint(10, TOKENS, (bs,)).astype(np.int32),
-        "pids": rng.randint(0, 11003, (bs,)).astype(np.int32),
-    }
+    batch = flagship_batch(bs, TOKENS)
     variables = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), jnp.asarray(batch["pixels"]),
         jnp.asarray(batch["token_ids"]), jnp.asarray(batch["lengths"]),
@@ -920,23 +885,10 @@ def run_headline():
     import jax
     import jax.numpy as jnp
 
-    from textreid_tpu.config import get_default_cfg
+    from textreid_tpu.config import flagship_cfg
     from textreid_tpu.models import build_model
 
-    cfg = get_default_cfg()
-    cfg.TPU.ALLOW_RANDOM_VOCAB = True  # synthetic bench: no vocab .npy
-    cfg.MODEL.VISUAL_MODEL = "m_resnet50"
-    cfg.MODEL.TEXTUAL_MODEL = "bigru"
-    cfg.MODEL.GRU.ONEHOT = "clip_vit"
-    cfg.MODEL.GRU.VOCABULARY_SIZE = 512
-    cfg.MODEL.RESNET.RES5_STRIDE = 1
-    cfg.MODEL.EMBEDDING.EMBED_HEAD = "moco"
-    cfg.MODEL.EMBEDDING.FEATURE_SIZE = 256
-    cfg.MODEL.MOCO.FC = False
-    cfg.INPUT.HEIGHT, cfg.INPUT.WIDTH = 384, 128
-    cfg.INPUT.PIXEL_MEAN = [0.48145466, 0.4578275, 0.40821073]
-    cfg.INPUT.PIXEL_STD = [0.26862954, 0.26130258, 0.27577711]
-
+    cfg = flagship_cfg()
     model = build_model(cfg, dtype=jnp.bfloat16)
     log(f"devices: {jax.devices()}")
 

@@ -1,5 +1,7 @@
 from .catalog import DatasetCatalog
 from .defaults import get_default_cfg
+from .flagship import flagship_batch, flagship_cfg
 from .node import ConfigNode
 
-__all__ = ["ConfigNode", "DatasetCatalog", "get_default_cfg"]
+__all__ = ["ConfigNode", "DatasetCatalog", "flagship_batch",
+           "flagship_cfg", "get_default_cfg"]

@@ -24,40 +24,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
-def build_step():
+def build_step(variant: str = "", fused: bool = False):
+    """The exact model+step bench.py --train times (config/flagship.py),
+    so the breakdown attributes the same program the artifact measures.
+    ``variant``/``fused`` mirror bench.py's BENCH_TRAIN_MODEL /
+    BENCH_TRAIN_FUSED_ATTN knobs."""
     import jax
     import jax.numpy as jnp
 
-    from textreid_tpu.config import get_default_cfg
+    from textreid_tpu.config import flagship_batch, flagship_cfg
     from textreid_tpu.engine import create_train_state, make_train_step
     from textreid_tpu.models import build_model
     from textreid_tpu.solver import make_optimizer
     from textreid_tpu.solver.build import set_learning_rate
 
-    cfg = get_default_cfg()
-    cfg.TPU.ALLOW_RANDOM_VOCAB = True
-    cfg.MODEL.VISUAL_MODEL = "m_resnet50"
-    cfg.MODEL.TEXTUAL_MODEL = "bigru"
-    cfg.MODEL.GRU.ONEHOT = "clip_vit"
-    cfg.MODEL.GRU.VOCABULARY_SIZE = 512
-    cfg.MODEL.RESNET.RES5_STRIDE = 1
-    cfg.MODEL.EMBEDDING.EMBED_HEAD = "moco"
-    cfg.MODEL.EMBEDDING.FEATURE_SIZE = 256
-    cfg.MODEL.MOCO.FC = False
-    cfg.MODEL.MOCO.K = 2048
-    cfg.INPUT.HEIGHT, cfg.INPUT.WIDTH = 384, 128
+    cfg = flagship_cfg(variant, fused_attention=fused)
 
     batch_size, tokens = 128, 105
     model = build_model(cfg, dtype=jnp.bfloat16)
-    rng = np.random.RandomState(0)
-    batch = {
-        "pixels": rng.randint(0, 255, (batch_size, 384, 128, 3),
-                              dtype=np.uint8),
-        "erase": np.zeros((batch_size, 5), np.int32),
-        "token_ids": rng.randint(1, 512, (batch_size, tokens)).astype(np.int32),
-        "lengths": rng.randint(10, tokens, (batch_size,)).astype(np.int32),
-        "pids": rng.randint(0, 11003, (batch_size,)).astype(np.int32),
-    }
+    batch = flagship_batch(batch_size, tokens)
     variables = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), jnp.asarray(batch["pixels"]),
         jnp.asarray(batch["token_ids"]), jnp.asarray(batch["lengths"]),
@@ -206,12 +191,19 @@ def main():
     parser.add_argument("--summarize-only", action="store_true",
                         help="re-analyze an existing trace under --out "
                         "without re-running the step")
+    parser.add_argument("--model", default="", choices=["", "vit",
+                                                        "fullclip"],
+                        help="flagship variant to profile (mirrors "
+                        "bench.py BENCH_TRAIN_MODEL)")
+    parser.add_argument("--fused-attn", action="store_true",
+                        help="enable the Pallas attention kernels "
+                        "(transformer variants only)")
     args = parser.parse_args()
 
     if not args.summarize_only:
         import jax
 
-        step, state, db = build_step()
+        step, state, db = build_step(args.model, fused=args.fused_attn)
         state, m = step(state, db)  # compile outside the trace
         float(m["loss"])
         with jax.profiler.trace(args.out):
