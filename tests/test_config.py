@@ -120,3 +120,55 @@ class TestCatalog:
     def test_unknown_raises(self):
         with pytest.raises(RuntimeError):
             DatasetCatalog.get("/data", "market1501")
+
+
+class TestFlagshipCfg:
+    """config/flagship.py — the single constructor bench.py,
+    tools/profile_step.py and __graft_entry__ all build from."""
+
+    def test_flagship_matches_reference_yaml_shapes(self):
+        from textreid_tpu.config import flagship_cfg
+
+        cfg = flagship_cfg()
+        # the flagship experiment's identity knobs
+        # (configs/cuhkpedes/moco_gru_cliprn50_ls_bs128_2048.yaml)
+        assert cfg.MODEL.VISUAL_MODEL == "m_resnet50"
+        assert cfg.MODEL.TEXTUAL_MODEL == "bigru"
+        assert cfg.MODEL.EMBEDDING.EMBED_HEAD == "moco"
+        assert cfg.MODEL.MOCO.K == 2048
+        assert cfg.MODEL.EMBEDDING.EPSILON == 0.1
+        assert (cfg.INPUT.HEIGHT, cfg.INPUT.WIDTH) == (384, 128)
+        assert cfg.TPU.ALLOW_RANDOM_VOCAB  # synthetic-harness contract
+
+    def test_variants(self):
+        from textreid_tpu.config import flagship_cfg
+
+        vit = flagship_cfg("vit")
+        assert vit.MODEL.VISUAL_MODEL == "clip_vit_b16"
+        assert vit.MODEL.TEXTUAL_MODEL == "bigru"
+        fc = flagship_cfg("fullclip", fused_attention=True, attn_mode="on",
+                          tokens=90)
+        assert fc.MODEL.TEXTUAL_MODEL == "transformer"
+        assert fc.MODEL.TRANSFORMER.CONTEXT_LENGTH == 90
+        assert fc.TPU.FUSED_ATTENTION
+        assert fc.TPU.FUSED_ATTENTION_MODE == "on"
+        assert fc.TPU.FUSED_ATTENTION_TEXT_MODE == "on"
+
+    def test_rejections(self):
+        from textreid_tpu.config import flagship_cfg
+
+        with pytest.raises(ValueError):
+            flagship_cfg("resnet9000")
+        # fused attention on the GRU flagship would be a silent no-op
+        with pytest.raises(ValueError):
+            flagship_cfg(fused_attention=True)
+
+    def test_batch_shapes(self):
+        from textreid_tpu.config import flagship_batch
+
+        b = flagship_batch(4, tokens=17)
+        assert b["pixels"].shape == (4, 384, 128, 3)
+        assert b["pixels"].dtype.name == "uint8"
+        assert b["token_ids"].shape == (4, 17)
+        assert b["lengths"].shape == (4,)
+        assert (b["lengths"] < 17).all() and (b["lengths"] >= 10).all()
