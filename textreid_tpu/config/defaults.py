@@ -167,6 +167,16 @@ _C.TPU.DATA_PARALLEL = 0
 # Tensor-parallel (Megatron FFN split over the mesh `model` axis) degree
 # for the transformer towers; 1 = off.  See parallel/mesh.py:shard_state.
 _C.TPU.MODEL_PARALLEL = 1
+# ZeRO-1 optimizer-state sharding: store the Adam/SGD moment mirrors
+# sharded over the `data` mesh axis (each chip keeps 1/N of mu/nu) via
+# GSPMD placements alone — the partitioner inserts the reduce-scatter/
+# all-gather pattern around the elementwise update, params stay
+# replicated, numerics are bit-identical to pure data parallelism
+# (tests/test_tensor_parallel.py).  Frees ~2x param bytes of HBM per
+# chip at N=8; off by default because at flagship scale (~100 M params)
+# the moments fit comfortably and the extra per-step collective is pure
+# cost on one chip.  See parallel/mesh.py:zero1_spec.
+_C.TPU.OPTIMIZER_SHARDING = False
 # Compute dtype for backbone matmuls/convs: "float32" or "bfloat16".
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # Text-tower recurrence on the fused Pallas kernel. Measured on the v5e at

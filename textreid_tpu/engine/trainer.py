@@ -96,10 +96,27 @@ def do_train(
         max_iter = max_epoch * steps_per_epoch
 
         donate = (0,) if cfg.TPU.DONATE_STATE else ()
-        train_step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=donate)
-
+        out_shardings = None
         if mesh is not None:
-            state = shard_state(state, mesh)
+            state = shard_state(
+                state, mesh,
+                optimizer_sharding=bool(cfg.TPU.OPTIMIZER_SHARDING))
+            if cfg.TPU.OPTIMIZER_SHARDING:
+                # Pin the output state to the input placements.  Left to
+                # propagation, GSPMD may emit the new params data-sharded
+                # (their only producer is the shard-local Adam update),
+                # which would flip the state layout after step 1 and force
+                # a recompile; pinning keeps params replicated and moments
+                # sharded every step.  Metrics stay replicated scalars.
+                from ..parallel.mesh import replicated
+
+                out_shardings = (
+                    jax.tree_util.tree_map(lambda x: x.sharding, state),
+                    replicated(mesh),
+                )
+        train_step = jax.jit(make_train_step(model, tx, cfg),
+                             donate_argnums=donate,
+                             out_shardings=out_shardings)
 
         best_top1 = float(arguments.get("best_top1", 0.0))
         start_training_time = time.time()

@@ -138,6 +138,41 @@ _TP_RULES = (
 )
 
 
+# ZeRO-1 (Rajbhandari et al. 2019) optimizer-state sharding, expressed the
+# same GSPMD-placements-only way as the FFN split above: the Adam/SGD moment
+# mirrors inside ``opt_state`` are committed sharded over the ``data`` axis,
+# the elementwise update runs shard-local, and the partitioner inserts the
+# all-gather that rebuilds the replicated param delta.  Params, grads and
+# the model math are untouched, so numerics are identical to pure data
+# parallelism.  Leaves below this element count stay replicated: sharding a
+# BN-scale-sized tensor buys bytes nobody needs and costs a collective.
+MIN_ZERO1_ELEMS = 8192
+
+
+def zero1_spec(path, leaf, mesh, min_elems: int = MIN_ZERO1_ELEMS) -> P:
+    """PartitionSpec for one ``opt_state`` leaf under ZeRO-1.
+
+    Starts from the tensor-parallel spec (the Adam mirrors of a TP-split
+    FFN kernel must keep their ``model``-axis placement) and assigns the
+    ``data`` axis to the largest remaining dimension it divides.  Leaves
+    with no divisible dimension, scalars, and small tensors stay on the
+    TP/replicated placement.
+    """
+    base = tp_spec(path, leaf)
+    ndim = getattr(leaf, "ndim", 0) or 0
+    size = getattr(leaf, "size", 0) or 0
+    n = mesh.shape[DATA_AXIS]
+    if ndim == 0 or size < min_elems or n <= 1:
+        return base
+    spec = list(base) + [None] * (ndim - len(base))
+    shape = leaf.shape
+    for d in sorted(range(ndim), key=lambda d: -shape[d]):
+        if spec[d] is None and shape[d] % n == 0:
+            spec[d] = DATA_AXIS
+            return P(*spec)
+    return base
+
+
 def _path_names(path) -> tuple:
     names = []
     for k in path:
@@ -168,28 +203,37 @@ def tp_spec(path, leaf) -> P:
     return P()
 
 
-def shard_state(state, mesh: Mesh):
+def shard_state(state, mesh: Mesh, optimizer_sharding: bool = False,
+                min_zero1_elems: int = MIN_ZERO1_ELEMS):
     """Place train/eval state on ``mesh``: replicated when the model axis
     is 1 (the default), FFN-tensor-parallel per :data:`_TP_RULES` when the
-    mesh was built with ``num_model > 1``.
+    mesh was built with ``num_model > 1``, and — with
+    ``optimizer_sharding`` (``TPU.OPTIMIZER_SHARDING``) — the Adam/SGD
+    moment mirrors under ``opt_state`` ZeRO-1-sharded over ``data`` per
+    :func:`zero1_spec`.
 
     The sharded placements alone drive GSPMD: jitted steps consume the
     committed arrays, the partitioner propagates the split through the
     matmuls, and elementwise updates (Adam, EMA) keep the layout, so the
-    same step function serves both parallelism modes.
+    same step function serves every parallelism mode.
     """
-    if mesh.shape[MODEL_AXIS] == 1:
+    if mesh.shape[MODEL_AXIS] == 1 and not optimizer_sharding:
         return replicate_state(state, mesh)
+    tp_active = mesh.shape[MODEL_AXIS] > 1
     matched = [False]
 
     def place(path, leaf):
-        spec = tp_spec(path, leaf)
-        if spec != P():
+        names = _path_names(path)
+        if optimizer_sharding and names and names[0] == "opt_state":
+            spec = zero1_spec(path, leaf, mesh, min_zero1_elems)
+        else:
+            spec = tp_spec(path, leaf)
+        if spec != P() and MODEL_AXIS in tuple(spec):
             matched[0] = True
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     out = jax.tree_util.tree_map_with_path(place, state)
-    if not matched[0]:
+    if tp_active and not matched[0]:
         # A model-parallel mesh whose state matched no rule (e.g. the
         # RN50+bi-GRU flagship has no TransformerBlock FFNs) would silently
         # replicate everything while the batch stays sharded over `data`
