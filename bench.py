@@ -229,6 +229,13 @@ def bench_train_step():
 
     bs = int(os.environ.get("BENCH_TRAIN_BS", BATCH))
     assert cfg.MODEL.MOCO.K % bs == 0, (cfg.MODEL.MOCO.K, bs)
+    # BENCH_TRAIN_ACCUM=M runs the gradient-cache microbatched step
+    # (engine/grad_cache.py): the same bs-sized batch processed as M
+    # scanned microbatches with the exact batch-level objective.  Measures
+    # the memory-for-compute trade (expected ~1 extra tower forward, like
+    # TPU.REMAT) against the single-pass artifact at the same bs.
+    accum = int(os.environ.get("BENCH_TRAIN_ACCUM", "1"))
+    cfg.SOLVER.GRAD_ACCUM_STEPS = accum
     model = build_model(cfg, dtype=jnp.bfloat16)
     batch = flagship_batch(bs, TOKENS)
     variables = jax.jit(lambda: model.init(
@@ -265,7 +272,8 @@ def bench_train_step():
     if fused:
         fused_tag = ("_fusedattn" if attn_mode == "on"
                      else f"_fusedattn_{cfg.TPU.FUSED_ATTENTION_MODE}")
-    tag = (f"_{variant}" if variant else "") + fused_tag
+    tag = ((f"_{variant}" if variant else "") + fused_tag
+           + (f"_accum{accum}" if accum > 1 else ""))
     result = {
         "metric": f"moco_train_step_ms_bs{bs}{tag}",
         "value": round(step_s * 1000, 2),

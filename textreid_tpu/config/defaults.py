@@ -116,6 +116,21 @@ _C.SOLVER.EVALUATE_PERIOD = 1
 # (trainer.py:100); on TPU each log forces a host sync, so default sparser.
 _C.SOLVER.LOG_PERIOD = 20
 
+# Split each global batch into this many sequentially-processed microbatches
+# (1 = off, the reference behavior).  This is NOT naive gradient
+# accumulation: the batch-contrastive losses (global_align/CMPM and the
+# MoCo same-identity queue mask) are computed over the FULL batch's
+# embeddings, exactly as if the whole batch ran at once, via a two-pass
+# gradient-cache step (engine/grad_cache.py) — embeddings are collected
+# per-microbatch, the loss is differentiated w.r.t. those tiny [B, D]
+# embeddings once, and the cotangents are backpropagated through each
+# microbatch's towers under a lax.scan.  Activation memory is one
+# microbatch; compute is ~1 extra tower forward (like TPU.REMAT).  For
+# LayerNorm towers (ViT / text transformer) the result is bit-comparable
+# to the single-pass step; BatchNorm towers normalize per microbatch
+# (documented delta — torch users accumulating grads get the same).
+_C.SOLVER.GRAD_ACCUM_STEPS = 1
+
 _C.SOLVER.OPTIMIZER = "Adam"
 _C.SOLVER.BASE_LR = 0.0002
 _C.SOLVER.BIAS_LR_FACTOR = 2

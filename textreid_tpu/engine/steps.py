@@ -61,6 +61,85 @@ def _apply(model, params, batch_stats, constants, method, *args, train=False,
     return model.apply(variables, *args, method=method, **kwargs)
 
 
+def simple_loss_tail(projection, v_embed, t_embed, labels, epsilon):
+    """Simple-head losses on final f32 embeddings (simple_head/head.py:33-47).
+
+    Factored out of :func:`simple_train_step` so the grad-cache step
+    (grad_cache.py) computes the *identical* batch-level objective on
+    embeddings assembled from microbatches."""
+    return {
+        "instance_loss": losses.instance_loss(
+            projection, v_embed, t_embed, labels, epsilon=epsilon
+        ),
+        "global_align_loss": losses.global_align_loss(
+            v_embed, t_embed, labels
+        ),
+    }
+
+
+def moco_loss_tail(projection, v_embed, t_embed, v_q, t_q, v_k, t_k, ids,
+                   id_queue, v_queue, t_queue, epsilon, temperature):
+    """MoCo-head losses on final f32 embeddings (moco_head/head.py:147-174).
+
+    The same-identity exclusion masks a queue slot iff its id matches *any*
+    id in the (global) batch — factored here so both the big-batch step and
+    the grad-cache step apply it over the full batch's ids."""
+    queue_is_pos = jnp.any(id_queue[None, :] == ids[:, None], axis=0)  # [K]
+    neg_mask = jnp.where(queue_is_pos, -jnp.inf, 0.0)[None, :]  # [1, K]
+
+    v_pos = jnp.sum(v_q * t_k, axis=1, keepdims=True)  # [N,1]
+    v_neg = v_q @ t_queue.T + neg_mask  # [N,K]
+    t_pos = jnp.sum(t_q * v_k, axis=1, keepdims=True)
+    t_neg = t_q @ v_queue.T + neg_mask
+
+    return {
+        "instance_loss": losses.instance_loss(
+            projection, v_embed, t_embed, ids, epsilon=epsilon
+        ),
+        "infonce_loss": losses.infonce_loss(
+            v_pos, v_neg, t_pos, t_neg, temperature
+        ),
+        "global_align_loss": losses.global_align_loss(
+            v_embed, t_embed, ids
+        ),
+    }
+
+
+def moco_key_forward(model, use_fc, key_params, key_bs, params, constants,
+                     batch):
+    """Momentum-encoder embeddings (head.py:134-145), all grads stopped.
+
+    Key BN runs in batch-stats mode like torch modules in .train(); its
+    running stats update but are never consumed (the eval path uses the
+    query encoders only)."""
+    v_feat_k, new_key_bs = _apply(
+        model, key_params, key_bs, constants, "encode_image",
+        batch["pixels"], train=True, erase=batch.get("erase"),
+    )
+    t_feat_k = model.apply(
+        {"params": key_params, "batch_stats": key_bs, "constants": constants},
+        batch["token_ids"], batch["lengths"], method="encode_text",
+    )
+    if use_fc:
+        v_k = model.apply({"params": key_params}, v_feat_k,
+                          method="project_image")
+        t_k = model.apply({"params": key_params}, t_feat_k,
+                          method="project_text")
+    else:
+        # FC=False keys go through the *query* embed layers under
+        # no_grad (head.py:139,144) — no momentum copy of the embed layer.
+        v_k = model.apply({"params": params}, v_feat_k, method="embed_image")
+        t_k = model.apply({"params": params}, t_feat_k, method="embed_text")
+    # losses/queue run in f32 regardless of tower compute dtype
+    v_k = losses.l2_normalize(v_k.astype(jnp.float32), axis=1)
+    t_k = losses.l2_normalize(t_k.astype(jnp.float32), axis=1)
+    return (
+        jax.lax.stop_gradient(v_k),
+        jax.lax.stop_gradient(t_k),
+        new_key_bs,
+    )
+
+
 def encode_step(model, state: TrainState, batch) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Eval-path embeddings (reference moco_head/head.py:178-183 /
     model.py:29-41): backbone features through the plain embed layers."""
@@ -96,14 +175,8 @@ def simple_train_step(model, tx, epsilon: float, remat: bool = False):
         t_embed = t_embed.astype(jnp.float32)
         labels = batch["pids"]
         projection = params["projection"].astype(jnp.float32)
-        loss_dict = {
-            "instance_loss": losses.instance_loss(
-                projection, v_embed, t_embed, labels, epsilon=epsilon
-            ),
-            "global_align_loss": losses.global_align_loss(
-                v_embed, t_embed, labels
-            ),
-        }
+        loss_dict = simple_loss_tail(projection, v_embed, t_embed, labels,
+                                     epsilon)
         total = sum(loss_dict.values())
         return total, (loss_dict, new_bs)
 
@@ -139,37 +212,8 @@ def moco_train_step(model, tx, cfg):
     temperature = 0.07  # moco_head/loss.py:18
 
     def key_forward(key_params, key_bs, params, constants, batch):
-        """Momentum-encoder embeddings (head.py:134-145), all grads stopped.
-
-        Key BN runs in batch-stats mode like torch modules in .train(); its
-        running stats update but are never consumed (the eval path uses the
-        query encoders only)."""
-        v_feat_k, new_key_bs = _apply(
-            model, key_params, key_bs, constants, "encode_image",
-            batch["pixels"], train=True, erase=batch.get("erase"),
-        )
-        t_feat_k = model.apply(
-            {"params": key_params, "batch_stats": key_bs, "constants": constants},
-            batch["token_ids"], batch["lengths"], method="encode_text",
-        )
-        if use_fc:
-            v_k = model.apply({"params": key_params}, v_feat_k,
-                              method="project_image")
-            t_k = model.apply({"params": key_params}, t_feat_k,
-                              method="project_text")
-        else:
-            # FC=False keys go through the *query* embed layers under
-            # no_grad (head.py:139,144) — no momentum copy of the embed layer.
-            v_k = model.apply({"params": params}, v_feat_k, method="embed_image")
-            t_k = model.apply({"params": params}, t_feat_k, method="embed_text")
-        # losses/queue run in f32 regardless of tower compute dtype
-        v_k = losses.l2_normalize(v_k.astype(jnp.float32), axis=1)
-        t_k = losses.l2_normalize(t_k.astype(jnp.float32), axis=1)
-        return (
-            jax.lax.stop_gradient(v_k),
-            jax.lax.stop_gradient(t_k),
-            new_key_bs,
-        )
+        return moco_key_forward(model, use_fc, key_params, key_bs, params,
+                                constants, batch)
 
     def loss_fn(params, state, batch, v_k, t_k):
         v_feat, new_bs = _encode_image_train(
@@ -194,32 +238,11 @@ def moco_train_step(model, tx, cfg):
         t_q = losses.l2_normalize(t_q.astype(jnp.float32), axis=1)
 
         ids = batch["pids"].astype(jnp.int32)
-
-        # Same-identity queue entries excluded from the negative pool for the
-        # whole batch (head.py:147-157): a queue slot is negative iff its id
-        # matches no id in the batch.
-        queue_is_pos = jnp.any(
-            state.id_queue[None, :] == ids[:, None], axis=0
-        )  # [K]
-        neg_mask = jnp.where(queue_is_pos, -jnp.inf, 0.0)[None, :]  # [1, K]
-
-        v_pos = jnp.sum(v_q * t_k, axis=1, keepdims=True)  # [N,1]
-        v_neg = v_q @ state.t_queue.T + neg_mask  # [N,K]
-        t_pos = jnp.sum(t_q * v_k, axis=1, keepdims=True)
-        t_neg = t_q @ state.v_queue.T + neg_mask
-
-        loss_dict = {
-            "instance_loss": losses.instance_loss(
-                params["projection"].astype(jnp.float32), v_embed, t_embed,
-                ids, epsilon=epsilon
-            ),
-            "infonce_loss": losses.infonce_loss(
-                v_pos, v_neg, t_pos, t_neg, temperature
-            ),
-            "global_align_loss": losses.global_align_loss(
-                v_embed, t_embed, ids
-            ),
-        }
+        loss_dict = moco_loss_tail(
+            params["projection"].astype(jnp.float32), v_embed, t_embed,
+            v_q, t_q, v_k, t_k, ids, state.id_queue, state.v_queue,
+            state.t_queue, epsilon, temperature,
+        )
         total = sum(loss_dict.values())
         return total, (loss_dict, new_bs)
 
@@ -276,6 +299,10 @@ def moco_train_step(model, tx, cfg):
 
 
 def make_train_step(model, tx, cfg):
+    n_micro = int(cfg.SOLVER.GRAD_ACCUM_STEPS)
+    if n_micro > 1:
+        from .grad_cache import make_grad_cache_step
+        return make_grad_cache_step(model, tx, cfg, n_micro)
     if cfg.MODEL.EMBEDDING.EMBED_HEAD == "moco":
         return moco_train_step(model, tx, cfg)
     return simple_train_step(model, tx, cfg.MODEL.EMBEDDING.EPSILON,
