@@ -257,6 +257,23 @@ def bench_train_step():
     # cost analysis — lowered on abstract shapes (the live state buffer is
     # donated).
     step_flops = cost_flops(step, jax.eval_shape(lambda s: s, state), db)
+    if accum > 1:
+        # XLA's cost model counts a scan body ONCE regardless of trip count,
+        # so the grad-cache step's own analysis under-counts by ~M.  The
+        # honest MFU basis for a microbatched step is the USEFUL work — the
+        # single-pass program that accomplishes the same optimizer step —
+        # so lower/compile that program purely for its cost analysis (the
+        # grad-cache recompute forward is overhead, and shows up as the
+        # MFU delta vs the single-pass artifact at the same bs).
+        cfg_sp = flagship_cfg(variant, fused_attention=fused,
+                              attn_mode=attn_mode, tokens=TOKENS)
+        sp_step = jax.jit(make_train_step(model, make_optimizer(
+            cfg_sp, variables["params"]), cfg_sp), donate_argnums=(0,))
+        raw_scan_flops = step_flops
+        step_flops = cost_flops(sp_step, jax.eval_shape(lambda s: s, state),
+                                db)
+        log(f"useful-work flops from the single-pass program "
+            f"(scan-body analysis was {raw_scan_flops})")
     n = 10
     t0 = time.time()
     for _ in range(n):
@@ -284,6 +301,9 @@ def bench_train_step():
         "mfu": mfu(step_flops, step_s),
         "peak_bf16_flops": peak_flops(),
     }
+    if accum > 1:
+        result["grad_accum_steps"] = accum
+        result["flops_basis"] = "single_pass_useful_work"
     # machine artifact for the judge (VERDICT round-1 item 4); non-flagship
     # variants get their own file so the driver artifact stays bs128 RN50
     name = ("BENCH_TRAIN.json" if bs == BATCH and not tag

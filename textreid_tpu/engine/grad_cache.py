@@ -53,7 +53,10 @@ import jax.numpy as jnp
 from ..models import losses
 from .state import TrainState
 from .steps import (
+    MOCO_TEMPERATURE,
     _encode_image_train,
+    apply_updates,
+    enqueue,
     moco_key_forward,
     moco_loss_tail,
     simple_loss_tail,
@@ -173,7 +176,7 @@ def make_grad_cache_step(model, tx, cfg, n_micro):
     use_fc = bool(cfg.MODEL.MOCO.FC) if is_moco else None
     epsilon = cfg.MODEL.EMBEDDING.EPSILON
     remat = bool(cfg.TPU.REMAT)
-    temperature = 0.07  # moco_head/loss.py:18
+    temperature = MOCO_TEMPERATURE
 
     def simple_step(state: TrainState, batch):
         micros = _split_micro(batch, n_micro)
@@ -188,9 +191,7 @@ def make_grad_cache_step(model, tx, cfg, n_micro):
             model, state.params, state.batch_stats, state.constants,
             micros, remat, use_fc, tail_fn,
         )
-        updates, new_opt_state = tx.update(grads, state.opt_state,
-                                           state.params)
-        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_params, new_opt_state = apply_updates(tx, state, grads)
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
@@ -241,22 +242,10 @@ def make_grad_cache_step(model, tx, cfg, n_micro):
             model, state.params, state.batch_stats, state.constants,
             micros, remat, use_fc, tail_fn,
         )
-        updates, new_opt_state = tx.update(grads, state.opt_state,
-                                           state.params)
-        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_params, new_opt_state = apply_updates(tx, state, grads)
 
         # 4) one full-batch dequeue/enqueue after the loss (head.py:175).
-        ptr = state.queue_ptr
-        v_queue = jax.lax.dynamic_update_slice_in_dim(
-            state.v_queue, v_k, ptr, axis=0
-        )
-        t_queue = jax.lax.dynamic_update_slice_in_dim(
-            state.t_queue, t_k, ptr, axis=0
-        )
-        id_queue = jax.lax.dynamic_update_slice_in_dim(
-            state.id_queue, ids, ptr, axis=0
-        )
-        new_ptr = (ptr + ids.shape[0]) % state.id_queue.shape[0]
+        v_queue, t_queue, id_queue, new_ptr = enqueue(state, v_k, t_k, ids)
 
         new_state = state.replace(
             step=state.step + 1,

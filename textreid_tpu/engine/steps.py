@@ -31,6 +31,35 @@ import jax.numpy as jnp
 from ..models import losses
 from .state import TrainState
 
+# InfoNCE temperature (moco_head/loss.py:18) — shared with grad_cache.py so
+# the microbatched step can never drift to a different objective.
+MOCO_TEMPERATURE = 0.07
+
+
+def apply_updates(tx, state: TrainState, grads):
+    """One optimizer step: ``(new_params, new_opt_state)`` (shared by the
+    single-pass and grad-cache steps)."""
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+    return new_params, new_opt_state
+
+
+def enqueue(state: TrainState, v_k, t_k, ids):
+    """Full-batch dequeue/enqueue after the loss (head.py:96-109,175):
+    ``(v_queue, t_queue, id_queue, new_ptr)``."""
+    ptr = state.queue_ptr
+    v_queue = jax.lax.dynamic_update_slice_in_dim(
+        state.v_queue, v_k, ptr, axis=0
+    )
+    t_queue = jax.lax.dynamic_update_slice_in_dim(
+        state.t_queue, t_k, ptr, axis=0
+    )
+    id_queue = jax.lax.dynamic_update_slice_in_dim(
+        state.id_queue, ids, ptr, axis=0
+    )
+    new_ptr = (ptr + ids.shape[0]) % state.id_queue.shape[0]
+    return v_queue, t_queue, id_queue, new_ptr
+
 
 def _encode_image_train(model, params, batch_stats, constants, pixels,
                         erase, remat=False):
@@ -184,8 +213,7 @@ def simple_train_step(model, tx, epsilon: float, remat: bool = False):
         grads, (loss_dict, new_bs) = jax.grad(loss_fn, has_aux=True)(
             state.params, state, batch
         )
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_params, new_opt_state = apply_updates(tx, state, grads)
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
@@ -209,11 +237,7 @@ def moco_train_step(model, tx, cfg):
     use_fc = cfg.MODEL.MOCO.FC
     epsilon = cfg.MODEL.EMBEDDING.EPSILON
     remat = bool(cfg.TPU.REMAT)
-    temperature = 0.07  # moco_head/loss.py:18
-
-    def key_forward(key_params, key_bs, params, constants, batch):
-        return moco_key_forward(model, use_fc, key_params, key_bs, params,
-                                constants, batch)
+    temperature = MOCO_TEMPERATURE
 
     def loss_fn(params, state, batch, v_k, t_k):
         v_feat, new_bs = _encode_image_train(
@@ -254,30 +278,20 @@ def moco_train_step(model, tx, cfg):
             state.key_params, state.params,
         )
         # 2) key forward with the updated key encoders.
-        v_k, t_k, new_key_bs = key_forward(
-            key_params, state.key_batch_stats, state.params,
+        v_k, t_k, new_key_bs = moco_key_forward(
+            model, use_fc, key_params, state.key_batch_stats, state.params,
             state.constants, batch,
         )
         # 3) query forward/backward.
         grads, (loss_dict, new_bs) = jax.grad(loss_fn, has_aux=True)(
             state.params, state, batch, v_k, t_k
         )
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_params, new_opt_state = apply_updates(tx, state, grads)
 
         # 4) dequeue/enqueue after the loss (head.py:96-109,175).
-        batch_size = batch["pids"].shape[0]
-        ptr = state.queue_ptr
-        v_queue = jax.lax.dynamic_update_slice_in_dim(
-            state.v_queue, v_k, ptr, axis=0
+        v_queue, t_queue, id_queue, new_ptr = enqueue(
+            state, v_k, t_k, batch["pids"].astype(jnp.int32)
         )
-        t_queue = jax.lax.dynamic_update_slice_in_dim(
-            state.t_queue, t_k, ptr, axis=0
-        )
-        id_queue = jax.lax.dynamic_update_slice_in_dim(
-            state.id_queue, batch["pids"].astype(jnp.int32), ptr, axis=0
-        )
-        new_ptr = (ptr + batch_size) % state.id_queue.shape[0]
 
         new_state = state.replace(
             step=state.step + 1,
