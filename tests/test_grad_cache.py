@@ -221,3 +221,29 @@ class TestMesh:
                                        err_msg=f"metric {k}")
         for name, d in _leaf_diffs(s1.params, s2.params):
             assert d < 1e-4, (name, d)
+
+    def test_grad_cache_composes_with_tensor_parallelism(self):
+        """dp x tp mesh with the FFN leaves live-sharded over `model`:
+        the microbatch scan and the Megatron split are orthogonal."""
+        from textreid_tpu.parallel import MODEL_AXIS, make_mesh, \
+            shard_batch, shard_state
+
+        batch = make_batch(8)
+        cfg1 = tiny_cfg(head="moco", accum=1)
+        model, tx, state = build(cfg1, tiny_fullclip_model, batch)
+        mesh = make_mesh(4, 2)
+        s0 = shard_state(state, mesh)
+        ffn = s0.params["visual"]["block_0"]["c_fc"]["kernel"]
+        assert MODEL_AXIS in tuple(ffn.sharding.spec)
+        b = shard_batch(dict(batch), mesh)
+
+        s1, m1 = jax.jit(make_train_step(model, tx, cfg1))(s0, b)
+        cfg2 = tiny_cfg(head="moco", accum=2)
+        s2, m2 = jax.jit(make_train_step(model, tx, cfg2))(s0, b)
+
+        for k in m1:
+            np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                       rtol=2e-4, atol=2e-5,
+                                       err_msg=f"metric {k}")
+        for name, d in _leaf_diffs(s1.params, s2.params):
+            assert d < 1e-4, (name, d)
