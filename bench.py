@@ -97,6 +97,52 @@ def mfu(flops, seconds):
     return round(flops / seconds / peak, 4)
 
 
+def pallas_attention_flops(cfg, batch_size, tokens=TOKENS, moco=True):
+    """Analytic matmul FLOPs of the fused Pallas attention custom-calls in
+    one train step, or 0 when no tower lowers through them.
+
+    XLA's cost model assigns 0 FLOPs to custom-calls, so a train step with
+    ``TPU.FUSED_ATTENTION`` on under-counts exactly the attention matmuls
+    vs its XLA-lowered A/B twin — the FASTER leg's MFU came out equal or
+    lower (VERDICT r4 weak #3: both VIT legs printed mfu 0.4374 at 205.1
+    vs 196.7 ms).  Counted at the unfused program's useful-work rate so
+    the two legs share one basis: forward = 2 matmuls (QK^T, PV) =
+    4*B*H*S^2*Dh FLOPs per layer; backward = 4 matmuls (dV, dP, dQ, dK) =
+    8*B*H*S^2*Dh.  The kernel's in-VMEM score recompute is overhead, not
+    useful work, and is NOT counted.  MoCo steps run each tower forward
+    twice (query + momentum key encoder) and backward once."""
+    from textreid_tpu.models.vit import VIT_SPECS, fused_attention_from_cfg
+
+    n_fwd = 2 if moco else 1
+    total = 0.0
+    # visual transformer tower
+    vmode = fused_attention_from_cfg(cfg, "visual")
+    if vmode != "off" and cfg.MODEL.VISUAL_MODEL in VIT_SPECS:
+        spec = VIT_SPECS[cfg.MODEL.VISUAL_MODEL]
+        grid = (cfg.INPUT.HEIGHT // spec["patch_size"],
+                cfg.INPUT.WIDTH // spec["patch_size"])
+        s = grid[0] * grid[1] + 1
+        unit = batch_size * spec["heads"] * s * s \
+            * (spec["width"] // spec["heads"])
+        per_layer = (4 * n_fwd + 8) * unit if vmode == "on" else 8 * unit
+        total += per_layer * spec["layers"]
+    # CLIP text transformer tower (width 512, 8 heads, 12 layers for the
+    # b16 arch — models/text_transformer.py TEXT_TRANSFORMER_SPECS)
+    tmode = fused_attention_from_cfg(cfg, "text")
+    if tmode != "off" and cfg.MODEL.TEXTUAL_MODEL == "transformer":
+        from textreid_tpu.models.text_transformer import (
+            TEXT_TRANSFORMER_SPECS,
+        )
+
+        spec = TEXT_TRANSFORMER_SPECS[cfg.MODEL.TRANSFORMER.ARCH]
+        s = tokens
+        unit = batch_size * spec["heads"] * s * s \
+            * (spec["width"] // spec["heads"])
+        per_layer = (4 * n_fwd + 8) * unit if tmode == "on" else 8 * unit
+        total += per_layer * spec["layers"]
+    return total
+
+
 # ---------------------------------------------------------------------------
 # timing helper
 # ---------------------------------------------------------------------------
@@ -257,6 +303,7 @@ def bench_train_step():
     # cost analysis — lowered on abstract shapes (the live state buffer is
     # donated).
     step_flops = cost_flops(step, jax.eval_shape(lambda s: s, state), db)
+    flops_basis = "xla_cost_analysis"
     if accum > 1:
         # XLA's cost model counts a scan body ONCE regardless of trip count,
         # so the grad-cache step's own analysis under-counts by ~M.  The
@@ -272,8 +319,21 @@ def bench_train_step():
         raw_scan_flops = step_flops
         step_flops = cost_flops(sp_step, jax.eval_shape(lambda s: s, state),
                                 db)
+        flops_basis = "single_pass_useful_work"
         log(f"useful-work flops from the single-pass program "
             f"(scan-body analysis was {raw_scan_flops})")
+    # Custom-calls carry 0 FLOPs in XLA's cost model, so fused-attention
+    # legs add the kernels' analytic matmul FLOPs — without this the
+    # FASTER fused leg printed an equal-or-lower MFU than its XLA twin
+    # (VERDICT r4 weak #3) and ranking legs by MFU gave the wrong answer.
+    pallas_flops = pallas_attention_flops(
+        cfg, bs, tokens=TOKENS,
+        moco=cfg.MODEL.EMBEDDING.EMBED_HEAD == "moco")
+    if pallas_flops and step_flops is not None:
+        step_flops += pallas_flops
+        flops_basis += "+analytic_pallas_attention"
+        log(f"added {pallas_flops / 1e9:.1f} GFLOP analytic Pallas "
+            f"attention to the MFU basis")
     n = 10
     t0 = time.time()
     for _ in range(n):
@@ -300,10 +360,18 @@ def bench_train_step():
         "step_flops": step_flops,
         "mfu": mfu(step_flops, step_s),
         "peak_bf16_flops": peak_flops(),
+        "flops_basis": flops_basis,
     }
     if accum > 1:
         result["grad_accum_steps"] = accum
-        result["flops_basis"] = "single_pass_useful_work"
+        # MFU here charges only the single-pass USEFUL work: the
+        # grad-cache recompute forward is overhead by construction, so a
+        # lower MFU than the single-pass artifact at the same bs is the
+        # feature's cost (expected ~0.75x), not a kernel regression.
+        result["mfu_note"] = (
+            "basis excludes the grad-cache recompute forward; compare "
+            "ms/step and images_per_second across accum legs, and expect "
+            "mfu ~= single_pass_mfu * (single_pass_ms / accum_ms)")
     # machine artifact for the judge (VERDICT round-1 item 4); non-flagship
     # variants get their own file so the driver artifact stays bs128 RN50
     name = ("BENCH_TRAIN.json" if bs == BATCH and not tag
@@ -332,11 +400,15 @@ def bench_stages():
     rng = np.random.RandomState(0)
     report = {}
 
-    def stage(name, fn, args, iters=200):
+    def stage(name, fn, args, iters=200, extra_flops=0):
+        """``extra_flops``: analytic FLOPs of Pallas custom-calls inside
+        the stage (XLA's cost model counts them as 0), so fused and XLA
+        legs report MFU on one basis."""
         secs = _timed_loop(fn, args, iters=iters)
         report[f"{name}_ms"] = secs * 1000
         flops = cost_flops(jax.jit(fn), *args)
         if flops is not None:
+            flops += extra_flops
             report[f"{name}_flops"] = flops
             m = mfu(flops, secs)
             if m is not None:
@@ -461,8 +533,11 @@ def bench_stages():
             input_resolution=(384, 128), patch_size=16, width=768,
             layers=12, heads=12, output_dim=512, dtype=jnp.bfloat16,
             fused_attention=True)
+        # analytic fwd attention matmuls (2 matmuls = 4*B*H*S^2*Dh per
+        # layer) — the custom-call is 0 in XLA's cost model
+        vit_attn_flops = 12 * 4 * BATCH * 12 * 193 * 193 * 64
         stage("vit_fwd_fused_attn", lambda v, x: vit_fused.apply(v, x),
-              (vitvars, pixels), iters=50)
+              (vitvars, pixels), iters=50, extra_flops=vit_attn_flops)
         # full-tower agreement (12 layers of kernel drift compound, so the
         # per-layer test tolerance alone is not the accuracy claim); costs
         # two extra single-apply compiles — accepted, --stages is a manual
@@ -483,7 +558,7 @@ def bench_stages():
         # composed: int8 MXU for the block matmuls + Pallas attention for
         # the HBM-bound score tensor (independent levers, same tower)
         stage("vit_fwd_int8_fused_attn", int8_dense_apply(vit_fused),
-              (vitvars, pixels), iters=50)
+              (vitvars, pixels), iters=50, extra_flops=vit_attn_flops)
 
     # attention pool alone at the RN50 grid ([B, 12, 4, 2048])
     pool = AttentionPool2d(spacial_dim=(12, 4), embed_dim=2048, num_heads=32,
@@ -533,7 +608,8 @@ def bench_stages():
                                     fused_attention=True)
         stage("text_transformer_fwd_fused_attn",
               lambda v, i, l: txf_fused.apply(v, i, l),
-              (tvars, ids, lens), iters=50)
+              (tvars, ids, lens), iters=50,
+              extra_flops=12 * 4 * BATCH * 8 * TOKENS * TOKENS * 64)
 
     # loss block at flagship shapes
     v = jnp.asarray(rng.rand(BATCH, 256).astype(np.float32))
@@ -1326,6 +1402,22 @@ def main():
         from textreid_tpu.utils.platform import ensure_platform
 
         ensure_platform()
+        # Persistent compilation cache (same machinery the CLIs wire via
+        # TPU.COMPILATION_CACHE_DIR — utils/platform.py): the supervisor's
+        # ABORTED retries and round-over-round driver runs stop re-paying
+        # multi-minute relay compiles (compile+warmup grew 57.6 -> 189.8 s
+        # across BENCH_r01..r04 with the cache sitting unused — VERDICT r4
+        # weak #4).  BENCH_COMPILE_CACHE= (empty) disables.
+        cache_dir = os.environ.get(
+            "BENCH_COMPILE_CACHE",
+            os.path.expanduser("~/.cache/textreid_tpu_xla"))
+        if cache_dir:
+            import jax
+
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
         MODES[mode][0]()
     else:
         sys.exit(supervise(mode))

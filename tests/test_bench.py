@@ -100,3 +100,54 @@ class TestBenchRerank:
         assert art["subset_match"] == 1.0
         assert art["subset_max_abs_err"] == 0.0
         assert art["ref_loop_us_per_pair"] > 0
+
+
+class TestPallasAttentionFlops:
+    """Analytic MFU-basis correction for fused-attention train legs
+    (VERDICT r4 weak #3: custom-calls are 0 FLOPs in XLA's cost model, so
+    the faster fused leg printed an equal-or-lower MFU than its XLA twin)."""
+
+    def _flops(self, variant, attn_mode=""):
+        import sys as _sys
+
+        _sys.path.insert(0, REPO)
+        from unittest import mock
+
+        import bench
+        from textreid_tpu.config import flagship_cfg
+
+        cfg = flagship_cfg(variant, fused_attention=True,
+                           attn_mode=attn_mode)
+        # fused_attention_from_cfg gates on the TPU backend; the analytic
+        # count must match what a TPU run would lower
+        with mock.patch("textreid_tpu.models.vit.jax.default_backend",
+                        return_value="tpu"):
+            return bench.pallas_attention_flops(cfg, 128, tokens=105)
+
+    def test_vit_on_counts_query_fwd_bwd_and_key_fwd(self):
+        # ViT-B/16 @ 384x128: S = 24*8+1, 12 heads x 64, 12 layers;
+        # moco: 2 forwards (4 units each) + 1 backward (8 units)
+        unit = 128 * 12 * 193 * 193 * 64
+        assert self._flops("vit") == 12 * (4 * 2 + 8) * unit
+
+    def test_fullclip_default_text_off(self):
+        # text tower default lowering is "off" -> only the visual kernel
+        # is missing from the cost model
+        assert self._flops("fullclip") == self._flops("vit")
+
+    def test_fullclip_forced_on_adds_text_tower(self):
+        unit_t = 128 * 8 * 105 * 105 * 64
+        extra = 12 * (4 * 2 + 8) * unit_t
+        assert (self._flops("fullclip", attn_mode="on")
+                == self._flops("vit") + extra)
+
+    def test_off_modes_count_zero(self):
+        import sys as _sys
+
+        _sys.path.insert(0, REPO)
+        import bench
+        from textreid_tpu.config import flagship_cfg
+
+        # gate off entirely -> 0 (also the CPU-backend behavior)
+        cfg = flagship_cfg("vit")
+        assert bench.pallas_attention_flops(cfg, 128) == 0

@@ -41,8 +41,11 @@ Semantics deltas vs one giant batch, both documented in the config
 docstring (``SOLVER.GRAD_ACCUM_STEPS``): BatchNorm towers normalize each
 microbatch with its own statistics (running stats advance sequentially,
 like a torch user feeding M small batches), and therefore only
-LayerNorm-only towers (ViT, CLIP text transformer) are bitwise-comparable
-to the single-pass step — which tests/test_grad_cache.py asserts.
+LayerNorm-only towers (ViT, CLIP text transformer) compute the identical
+batch-level objective — equal to the single-pass step up to
+reduction-order float noise (tests/test_grad_cache.py asserts agreement
+to 1e-5; the scanned contraction orders differ, so bit equality is not
+the claim).
 """
 
 from __future__ import annotations
