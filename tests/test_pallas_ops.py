@@ -303,6 +303,91 @@ class TestBiGRUPooledPallas:
                                    atol=1e-5)
 
 
+class TestGRUMeshPartitioning:
+    """Both GRU kernel entry points are mesh-native via custom_partitioning
+    (ops/gru_pallas._make_batch_partitioned): under a batch-sharded jit each
+    device runs the kernel on its own batch shard with the recurrent weights
+    replicated — no all-gather of the activations around the opaque custom
+    call (GSPMD's default), same contract as ops/attention_pallas."""
+
+    def _mesh(self):
+        from jax.sharding import Mesh
+
+        return Mesh(np.array(jax.devices()), ("data",))
+
+    def test_sharded_scan_no_allgather_and_exact(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from textreid_tpu.ops.gru_pallas import (
+            _xla_scan_forward,
+            make_hybrid_scan,
+        )
+
+        mesh = self._mesh()
+        n = len(jax.devices())
+        rng = np.random.RandomState(30)
+        t, b, h = 6, 4 * n, 8
+        xg = jnp.asarray(rng.randn(t, b, 3 * h).astype(np.float32) * 0.3)
+        wh = jnp.asarray(rng.randn(h, 3 * h).astype(np.float32) * 0.3)
+        h0 = jnp.zeros((b, h), jnp.float32)
+
+        x_sh = NamedSharding(mesh, P(None, "data", None))
+        h_sh = NamedSharding(mesh, P("data", None))
+        rep = NamedSharding(mesh, P())
+        hybrid = make_hybrid_scan(interpret=True)
+        f = jax.jit(hybrid, in_shardings=(x_sh, rep, h_sh),
+                    out_shardings=x_sh)
+        args = (jax.device_put(xg, x_sh), jax.device_put(wh, rep),
+                jax.device_put(h0, h_sh))
+        hlo = f.lower(*args).compile().as_text()
+        assert hlo.count("all-gather") == 0
+        np.testing.assert_allclose(
+            np.asarray(f(*args)),
+            np.asarray(_xla_scan_forward(xg, wh, h0)), atol=1e-5)
+
+    def test_sharded_pooled_no_allgather_and_exact(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from textreid_tpu.ops.gru_pallas import (
+            _partitioned_pooled,
+            _xla_pooled_forward,
+        )
+
+        mesh = self._mesh()
+        n = len(jax.devices())
+        rng = np.random.RandomState(31)
+        t, b, h = 5, 2 * n, 8
+        xf = jnp.asarray(rng.randn(b, t, 3 * h).astype(np.float32) * 0.3)
+        xb = jnp.asarray(rng.randn(b, t, 3 * h).astype(np.float32) * 0.3)
+        wf = jnp.asarray(rng.randn(h, 3 * h).astype(np.float32) * 0.3)
+        wb = jnp.asarray(rng.randn(h, 3 * h).astype(np.float32) * 0.3)
+        lengths = jnp.asarray(rng.randint(1, t + 1, size=b), jnp.int32)
+
+        b_sh = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+        pooled = _partitioned_pooled(True)
+        f = jax.jit(pooled, in_shardings=(b_sh, b_sh, rep, rep, b_sh),
+                    out_shardings=b_sh)
+        args = (jax.device_put(xf, b_sh), jax.device_put(xb, b_sh),
+                jax.device_put(wf, rep), jax.device_put(wb, rep),
+                jax.device_put(lengths, b_sh))
+        hlo = f.lower(*args).compile().as_text()
+        assert hlo.count("all-gather") == 0
+        # kernel-side pooled value = max over valid steps, no zero clamp;
+        # compare against the unclamped part of the XLA oracle
+        want_full = _xla_pooled_forward(
+            jnp.swapaxes(xf, 0, 1), jnp.swapaxes(xb, 0, 1), wf, wb,
+            lengths, pool_mode="always")
+        got = np.asarray(f(*args))
+        want = np.asarray(want_full)
+        # only unpadded rows are directly comparable (clamp applied outside
+        # the kernel); padded rows must match after the same clamp
+        pad = np.asarray(lengths) < t
+        np.testing.assert_allclose(
+            np.where(pad[:, None], np.maximum(got, 0.0), got), want,
+            atol=1e-5)
+
+
 class TestTopKAdversarialTies:
     """The lex-live-set merge (round 4: no retire-write, extraction
     tracked by the last (value, col) pair) must stay exact under heavy

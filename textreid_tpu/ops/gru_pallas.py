@@ -33,12 +33,13 @@ next to the conv trunk, so the XLA scan stays the DEFAULT for simplicity
 (``TPU.GRU_PALLAS`` opts into this kernel). The kernel's remaining edge
 is traffic, not latency: no [T, B, H] per-step HBM writes.
 
-Multi-chip note: these kernels carry no partitioning rule, so under a
-batch-sharded jit GSPMD replicates them behind all-gathers (correct,
-slower).  That is acceptable for an opt-in latency-wash kernel; keep the
-default XLA scan for sharded training.  The fused-attention kernels
-(`ops/attention_pallas.py`) ARE mesh-native via custom_partitioning —
-apply the same pattern here first if this kernel ever becomes a default.
+Multi-chip: both entry points are mesh-native via ``custom_partitioning``
+(the same pattern as `ops/attention_pallas.py`) — the recurrence is
+independent per sample, so under a batch-sharded jit each device runs the
+kernel on its own batch shard with the weights replicated; no all-gather
+is inserted around the custom call (asserted on the 8-device CPU mesh in
+tests/test_pallas_ops.py::TestGRUMeshPartitioning).  Non-batch shardings are
+resharded to the rule's layout by the partitioner.
 """
 
 from __future__ import annotations
@@ -152,6 +153,72 @@ def _xla_scan_forward(x_gates_tbg, w_h, h0):
     return ys
 
 
+def _make_batch_partitioned(impl, batch_dims, result_batch_dim,
+                            sharding_rule):
+    """Wrap ``impl`` in ``custom_partitioning`` sharing ONLY the batch
+    factor between operands and result (attention_pallas._make_partitioned
+    generalized to mixed-rank operands): under a batch-sharded jit each
+    device runs the kernel on its local shard instead of GSPMD replicating
+    it behind all-gathers.
+
+    ``batch_dims``: per-operand index of the batch dimension, or None for
+    replicated operands (the recurrent weights).  ``result_batch_dim``:
+    the batch dimension of the (single-array) result.  ``sharding_rule``
+    is the shardy einsum-like rule with the batch factor as the only
+    shared letter."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    cp = custom_partitioning(impl)
+
+    def _shardings(mesh, arg_shapes, result_shape):
+        # batch mesh axis = first batch-carrying operand's spec entry at
+        # its batch dim (None -> replicated execution, still correct)
+        batch_axis = None
+        for a, bd in zip(arg_shapes, batch_dims):
+            if bd is None:
+                continue
+            spec = getattr(a.sharding, "spec", None)
+            if spec is not None and len(spec) > bd and spec[bd] is not None:
+                batch_axis = spec[bd]
+                break
+
+        def ns(rank, bd):
+            parts = [None] * rank
+            if bd is not None:
+                parts[bd] = batch_axis
+            return NamedSharding(mesh, PartitionSpec(*parts))
+
+        arg_sh = tuple(ns(len(a.shape), bd)
+                       for a, bd in zip(arg_shapes, batch_dims))
+        res_sh = ns(len(result_shape.shape), result_batch_dim)
+        return arg_sh, res_sh
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_sh, res_sh = _shardings(mesh, arg_shapes, result_shape)
+        return mesh, impl, res_sh, arg_sh
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        return _shardings(mesh, arg_shapes, result_shape)[1]
+
+    cp.def_partition(partition=partition,
+                     infer_sharding_from_operands=infer_sharding,
+                     sharding_rule=sharding_rule)
+    return cp
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_scan(interpret: bool):
+    def impl(x_gates_tbg, w_h, h0):
+        return gru_scan_pallas(x_gates_tbg, w_h, h0, interpret=interpret)
+
+    # x [T,B,3H] (batch dim 1), w_h [H,3H] replicated, h0 [B,H] (dim 0)
+    # -> out [T,B,H] (batch dim 1); only `b` is shared
+    return _make_batch_partitioned(
+        impl, batch_dims=(1, None, 0), result_batch_dim=1,
+        sharding_rule="t b g, h i, b j -> u b v")
+
+
 def make_hybrid_scan(interpret: bool = False):
     """Pallas forward; backward differentiates the (bit-identical) XLA scan.
 
@@ -162,10 +229,10 @@ def make_hybrid_scan(interpret: bool = False):
 
     @jax.custom_vjp
     def hybrid(x_gates_tbg, w_h, h0):
-        return gru_scan_pallas(x_gates_tbg, w_h, h0, interpret=interpret)
+        return _partitioned_scan(interpret)(x_gates_tbg, w_h, h0)
 
     def fwd(x_gates_tbg, w_h, h0):
-        out = gru_scan_pallas(x_gates_tbg, w_h, h0, interpret=interpret)
+        out = _partitioned_scan(interpret)(x_gates_tbg, w_h, h0)
         return out, (x_gates_tbg, w_h, h0)
 
     def bwd(residuals, g):
@@ -312,6 +379,20 @@ def _xla_pooled_forward(xf_tbg, xb_tbg, w_f, w_b, lengths,
     return jnp.where(has_pad, jnp.maximum(m, 0.0), m)
 
 
+@functools.lru_cache(maxsize=None)
+def _partitioned_pooled(interpret: bool):
+    def impl(xf_btg, xb_btg, w_f, w_b, lengths):
+        # batch-major at the partition boundary (batch = dim 0 of every
+        # batch-carrying operand); the time-major swap runs per-shard
+        return _bigru_pooled_pallas(
+            jnp.swapaxes(xf_btg, 0, 1), jnp.swapaxes(xb_btg, 0, 1),
+            w_f, w_b, lengths, interpret=interpret)
+
+    return _make_batch_partitioned(
+        impl, batch_dims=(0, 0, None, None, 0), result_batch_dim=0,
+        sharding_rule="b t g, b s h, i j, k l, b -> b m")
+
+
 def bigru_pooled_scan(xf_btg, xb_btg, w_f, w_b, lengths,
                       interpret: bool = False, pool_mode: str = "batch"):
     """Fused 1-layer bi-GRU: scan both directions and max-pool over valid
@@ -325,10 +406,7 @@ def bigru_pooled_scan(xf_btg, xb_btg, w_f, w_b, lengths,
 
     @jax.custom_vjp
     def run(xf, xb, w_f, w_b):
-        xf_t = jnp.swapaxes(xf, 0, 1)
-        xb_t = jnp.swapaxes(xb, 0, 1)
-        pooled = _bigru_pooled_pallas(xf_t, xb_t, w_f, w_b, lengths,
-                                      interpret=interpret)
+        pooled = _partitioned_pooled(interpret)(xf, xb, w_f, w_b, lengths)
         # kernel maxes over valid steps only; the zero-participation rule
         # is applied outside (models.gru.masked_max_pool semantics)
         if pool_mode == "batch":
