@@ -98,7 +98,8 @@ def main():
             state = state.replace(params=merged["params"],
                                   batch_stats=merged["batch_stats"])
 
-    mesh = (make_mesh(cfg.TPU.DATA_PARALLEL, cfg.TPU.MODEL_PARALLEL)
+    mesh = (make_mesh(cfg.TPU.DATA_PARALLEL, cfg.TPU.MODEL_PARALLEL,
+                      num_slices=cfg.TPU.NUM_SLICES)
             if jax.device_count() > 1 else None)
 
     for dataset_name, loader in zip(cfg.DATASETS.TEST, data_loaders_val):

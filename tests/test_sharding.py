@@ -4,6 +4,8 @@ single-device step numerically, and the replicated MoCo queue must receive
 the full global batch (the semantics the reference's per-rank DDP queues
 got wrong — README.md:81, SURVEY.md section 2 parallelism table)."""
 
+import re
+
 import numpy as np
 import pytest
 
@@ -79,6 +81,107 @@ class TestMesh:
         shards = batch["pixels"].addressable_shards
         assert len(shards) == 8
         assert shards[0].data.shape[0] == 1
+
+
+class TestMultiSliceMesh:
+    """Hierarchical (slice, data, model) mesh — SURVEY §5.8's "ICI within
+    a slice, DCN across slices" layout.  The load-bearing property is
+    device ORDER: each slice's chips occupy the inner mesh axes
+    contiguously, so collectives naming `data` group within-slice device
+    sets (ICI) and only `slice` collectives cross the DCN boundary."""
+
+    def test_axes_and_slice_major_device_order(self):
+        from textreid_tpu.parallel import SLICE_AXIS, data_shard_count
+
+        mesh = make_mesh(num_slices=2)
+        assert mesh.axis_names == (SLICE_AXIS, DATA_AXIS, "model")
+        assert mesh.shape[SLICE_AXIS] == 2
+        assert mesh.shape[DATA_AXIS] == 4
+        assert data_shard_count(mesh) == 8
+        devs = list(jax.devices())
+        # slice s owns a contiguous block of devices (virtual-mesh
+        # grouping; real hardware groups by slice_index instead)
+        for s in range(2):
+            got = [d.id for d in mesh.devices[s].flatten()]
+            want = [d.id for d in devs[s * 4:(s + 1) * 4]]
+            assert got == want
+
+    def test_batch_shards_over_both_axes(self):
+        from textreid_tpu.parallel import batch_sharding
+
+        mesh = make_mesh(num_slices=2)
+        batch = shard_batch(make_batch(16), mesh)
+        assert len(batch["pixels"].addressable_shards) == 8
+        assert batch["pixels"].addressable_shards[0].data.shape[0] == 2
+        spec = batch_sharding(mesh).spec
+        assert tuple(spec) == (("slice", "data"),)
+        assert local_batch_size(16, mesh) == 2
+
+    def test_data_collectives_group_within_slice(self):
+        """A psum over `data` must produce replica groups that are the
+        within-slice device sets ({0..3},{4..7}) — the assertion that the
+        reduce rides ICI; a psum over `slice` pairs across slices."""
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        from textreid_tpu.parallel import SLICE_AXIS
+
+        mesh = make_mesh(num_slices=2)
+        x = jnp.arange(8 * 4, dtype=jnp.float32).reshape(8, 4)
+
+        def groups_of(axis, out_spec):
+            f = shard_map(
+                lambda v: jax.lax.psum(v, axis), mesh=mesh,
+                in_specs=P((SLICE_AXIS, DATA_AXIS), None),
+                out_specs=out_spec)
+            hlo = jax.jit(f).lower(x).compile().as_text()
+            m = re.findall(r"replica_groups=\{(\{[\d,\{\} ]*\})\}", hlo)
+            assert m, f"no explicit replica_groups in HLO:\n{hlo[:2000]}"
+            return {
+                tuple(int(t) for t in g.split(","))
+                for g in re.findall(r"\{([\d, ]+)\}", m[0])
+            }
+
+        within = groups_of(DATA_AXIS, P(SLICE_AXIS, None))
+        assert within == {(0, 1, 2, 3), (4, 5, 6, 7)}
+        across = groups_of(SLICE_AXIS, P(DATA_AXIS, None))
+        assert across == {(0, 4), (1, 5), (2, 6), (3, 7)}
+
+    def test_sharded_step_matches_flat_mesh(self):
+        """The hierarchical mesh is numerically a pure relabeling of the
+        flat data mesh: one SGD train step lands identical params."""
+        cfg = tiny_cfg()
+        cfg.SOLVER.OPTIMIZER = "SGD"
+        model = tiny_model(cfg)
+        batch = make_batch(8)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(batch["pixels"]),
+            jnp.asarray(batch["token_ids"]), jnp.asarray(batch["lengths"]),
+            method="init_all",
+        )
+        tx = make_optimizer(cfg, variables["params"])
+        state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0),
+                                   batch)
+        state = state.replace(
+            opt_state=set_learning_rate(state.opt_state, 1e-3))
+        step = make_train_step(model, tx, cfg)
+
+        outs = []
+        for mesh in (make_mesh(8), make_mesh(num_slices=2)):
+            st = replicate_state(state, mesh)
+            sb = shard_batch(make_batch(8), mesh)
+            # no donation: replicate_state may alias the host state's
+            # buffers across both loop iterations
+            with mesh:
+                new_state, metrics = jax.jit(step)(st, sb)
+            outs.append((jax.device_get(new_state.params),
+                         float(metrics["loss"])))
+        (p_flat, l_flat), (p_hier, l_hier) = outs
+        assert l_flat == pytest.approx(l_hier, rel=1e-6)
+        flat_leaves = jax.tree_util.tree_leaves(p_flat)
+        hier_leaves = jax.tree_util.tree_leaves(p_hier)
+        for a, b in zip(flat_leaves, hier_leaves):
+            np.testing.assert_allclose(a, b, atol=1e-6)
 
 
 @pytest.mark.slow

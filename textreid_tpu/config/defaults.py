@@ -182,6 +182,12 @@ _C.TPU.DATA_PARALLEL = 0
 # Tensor-parallel (Megatron FFN split over the mesh `model` axis) degree
 # for the transformer towers; 1 = off.  See parallel/mesh.py:shard_state.
 _C.TPU.MODEL_PARALLEL = 1
+# Multi-slice pod count (SURVEY §5.8: ICI within a slice, DCN across).
+# >1 builds a hierarchical (slice, data, model) mesh whose OUTER axis is
+# the DCN boundary: batches shard over (slice, data) jointly, the gradient
+# psum decomposes into an ICI reduce + one DCN reduce, and ZeRO-1 stays
+# within-slice.  See parallel/mesh.py:make_mesh.
+_C.TPU.NUM_SLICES = 1
 # ZeRO-1 optimizer-state sharding: store the Adam/SGD moment mirrors
 # sharded over the `data` mesh axis (each chip keeps 1/N of mu/nu) via
 # GSPMD placements alone — the partitioner inserts the reduce-scatter/

@@ -48,22 +48,99 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SLICE_AXIS = "slice"
 
 
-def make_mesh(num_data: int = 0, num_model: int = 1, devices=None) -> Mesh:
-    """Build a (data, model) mesh (``num_data=0`` = fill with all devices)."""
+def _group_by_slice(devices, num_slices: int):
+    """Order ``devices`` so each slice's chips are contiguous.
+
+    Real multi-slice TPU devices carry ``slice_index``; group by it when
+    every device has one (and the slice count matches), otherwise fall
+    back to contiguous chunks in enumeration order — the right answer for
+    the virtual CPU mesh and for the single-slice degenerate case.
+    """
+    idx = [getattr(d, "slice_index", None) for d in devices]
+    if all(i is not None for i in idx) and len(set(idx)) == num_slices:
+        order = {s: k for k, s in enumerate(sorted(set(idx)))}
+        groups = [[] for _ in range(num_slices)]
+        for d, i in zip(devices, idx):
+            groups[order[i]].append(d)
+        sizes = {len(g) for g in groups}
+        if len(sizes) == 1:
+            return [d for g in groups for d in g]
+    if len(devices) % num_slices != 0:
+        raise ValueError(
+            f"{len(devices)} devices do not split into {num_slices} "
+            "equal slices"
+        )
+    return list(devices)
+
+
+def make_mesh(num_data: int = 0, num_model: int = 1, devices=None,
+              num_slices: int = 1) -> Mesh:
+    """Build the training mesh (``num_data=0`` = fill with all devices).
+
+    Single slice (default): a flat ``(data, model)`` mesh.
+
+    Multi-slice (``num_slices > 1``, SURVEY §5.8 "ICI within a slice, DCN
+    across slices"): a hierarchical ``(slice, data, model)`` mesh whose
+    OUTER axis is the DCN boundary.  Devices are grouped slice-major (by
+    ``slice_index`` on real multi-slice hardware, contiguous chunks on the
+    virtual mesh), so the inner ``data``/``model`` axes span only chips of
+    one slice: every collective that names ``data`` or ``model`` rides
+    ICI, and only collectives naming ``slice`` cross DCN.  Batches shard
+    over ``(slice, data)`` jointly (:func:`batch_sharding`), so the
+    per-step gradient psum decomposes into a within-slice ICI reduce plus
+    ONE cross-slice DCN reduce; ZeRO-1 placements (:func:`zero1_spec`)
+    deliberately use only the inner ``data`` axis so the optimizer-state
+    rebuild all-gather never leaves a slice.
+    """
     devices = list(devices if devices is not None else jax.devices())
     num_model = max(int(num_model), 1)
+    num_slices = max(int(num_slices), 1)
+    if num_slices == 1:
+        if num_data <= 0:
+            num_data = len(devices) // num_model
+        need = num_data * num_model
+        if need == 0 or need > len(devices):
+            raise ValueError(
+                f"Requested a {num_data}x{num_model} (data x model) mesh "
+                f"but only {len(devices)} devices are visible"
+            )
+        dev_array = np.array(devices[:need]).reshape(num_data, num_model)
+        return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+    devices = _group_by_slice(devices, num_slices)
+    per_slice = len(devices) // num_slices
     if num_data <= 0:
-        num_data = len(devices) // num_model
+        num_data = per_slice // num_model
     need = num_data * num_model
-    if need == 0 or need > len(devices):
+    if need == 0 or need > per_slice:
         raise ValueError(
-            f"Requested a {num_data}x{num_model} (data x model) mesh but "
-            f"only {len(devices)} devices are visible"
+            f"Requested {num_slices} x ({num_data}x{num_model}) "
+            f"(slice x data x model) but each slice has only "
+            f"{per_slice} devices"
         )
-    dev_array = np.array(devices[:need]).reshape(num_data, num_model)
-    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+    picked = [d for s in range(num_slices)
+              for d in devices[s * per_slice : s * per_slice + need]]
+    dev_array = np.array(picked).reshape(num_slices, num_data, num_model)
+    return Mesh(dev_array, (SLICE_AXIS, DATA_AXIS, MODEL_AXIS))
+
+
+def data_axes(mesh: Mesh) -> tuple:
+    """Mesh axes the batch shards over: ``(slice, data)`` on a
+    hierarchical mesh, ``(data,)`` on a flat one."""
+    if SLICE_AXIS in mesh.axis_names:
+        return (SLICE_AXIS, DATA_AXIS)
+    return (DATA_AXIS,)
+
+
+def data_shard_count(mesh: Mesh) -> int:
+    """Number of batch shards (product of the data-carrying axes)."""
+    n = 1
+    for a in data_axes(mesh):
+        n *= mesh.shape[a]
+    return n
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -71,8 +148,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis over the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Shard the leading (batch) axis over the data-carrying axes —
+    jointly over ``(slice, data)`` on a hierarchical mesh, so consecutive
+    batch shards live within one slice (the reduce is ICI-major)."""
+    axes = data_axes(mesh)
+    return NamedSharding(mesh, P(axes if len(axes) > 1 else axes[0]))
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
@@ -157,6 +237,12 @@ def zero1_spec(path, leaf, mesh, min_elems: int = MIN_ZERO1_ELEMS) -> P:
     ``data`` axis to the largest remaining dimension it divides.  Leaves
     with no divisible dimension, scalars, and small tensors stay on the
     TP/replicated placement.
+
+    On a hierarchical multi-slice mesh this deliberately uses ONLY the
+    inner ``data`` axis (not ``slice``): the per-step all-gather that
+    rebuilds the replicated param delta then stays within a slice (ICI),
+    and nothing new crosses DCN — the memory win is per-slice, which is
+    where HBM lives anyway.
     """
     base = tp_spec(path, leaf)
     ndim = getattr(leaf, "ndim", 0) or 0
@@ -251,9 +337,10 @@ def shard_state(state, mesh: Mesh, optimizer_sharding: bool = False,
 def local_batch_size(global_batch: int, mesh: Optional[Mesh]) -> int:
     if mesh is None:
         return global_batch
-    n = mesh.shape[DATA_AXIS]
+    n = data_shard_count(mesh)
     if global_batch % n != 0:
         raise ValueError(
-            f"Global batch {global_batch} not divisible by data axis {n}"
+            f"Global batch {global_batch} not divisible by data-shard "
+            f"count {n}"
         )
     return global_batch // n

@@ -83,7 +83,8 @@ def build_everything(cfg, logger):
     state = create_train_state(cfg, model, tx, jax.random.PRNGKey(cfg.SEED),
                                sample, global_batch=cfg.SOLVER.IMS_PER_BATCH)
 
-    mesh = (make_mesh(cfg.TPU.DATA_PARALLEL, cfg.TPU.MODEL_PARALLEL)
+    mesh = (make_mesh(cfg.TPU.DATA_PARALLEL, cfg.TPU.MODEL_PARALLEL,
+                      num_slices=cfg.TPU.NUM_SLICES)
             if jax.device_count() > 1 else None)
     lr_schedule = make_lr_schedule(cfg)
     return model, state, tx, data_loader, data_loader_val, mesh, lr_schedule
