@@ -26,8 +26,17 @@ def _qkv(key, batch, seq, heads, head_dim, dtype, scale=0.5):
             * scale).astype(dtype)
 
 
+def _pair_or_skip(layout, heads, head_dim):
+    """pair layout needs width % 128 == 0 and head_dim | 128."""
+    from textreid_tpu.ops.attention_pallas import _heads_per_lane_block
+
+    if layout == "pair" and not _heads_per_lane_block(heads * head_dim,
+                                                      heads):
+        pytest.skip("shape ineligible for pair layout")
+
+
 class TestKernelAgreement:
-    @pytest.mark.parametrize("layout", ["fused", "split"])
+    @pytest.mark.parametrize("layout", ["fused", "split", "pair"])
     @pytest.mark.parametrize(
         "batch,seq,heads,head_dim,causal",
         [
@@ -39,6 +48,7 @@ class TestKernelAgreement:
     )
     def test_f32_matches_xla(self, batch, seq, heads, head_dim, causal,
                              layout):
+        _pair_or_skip(layout, heads, head_dim)
         qkv = _qkv(jax.random.PRNGKey(0), batch, seq, heads, head_dim,
                    jnp.float32)
         ref = xla_attention(qkv, heads=heads, causal=causal)
@@ -78,6 +88,48 @@ class TestKernelAgreement:
         with pytest.raises(ValueError, match="not divisible"):
             fused_attention(qkv, heads=3, interpret=True)
 
+    def test_pair_layout_eligibility(self):
+        from textreid_tpu.ops.attention_pallas import _heads_per_lane_block
+
+        assert _heads_per_lane_block(768, 12) == 2    # ViT-B/16: D=64
+        assert _heads_per_lane_block(512, 8) == 2     # CLIP text: D=64
+        assert _heads_per_lane_block(128, 4) == 4     # D=32
+        assert _heads_per_lane_block(256, 2) == 1     # D=128: one head/block
+        assert _heads_per_lane_block(64, 4) == 0      # width % 128 != 0
+        assert _heads_per_lane_block(768, 3) == 0     # D=256 > 128
+        # heads % hpb != 0: width 384, 3 heads of D=128 -> hpb=1 fine; use
+        # a case where hpb=2 can't tile the heads: D=64, heads=3
+        assert _heads_per_lane_block(192, 3) == 0
+
+    def test_pair_layout_rejects_ineligible(self):
+        qkv = _qkv(jax.random.PRNGKey(5), 2, 9, 4, 16, jnp.float32)  # W=64
+        with pytest.raises(ValueError, match="pair layout"):
+            fused_attention(qkv, heads=4, interpret=True, layout="pair")
+
+    def test_auto_layout_resolution(self):
+        from textreid_tpu.ops.attention_pallas import _resolve_layout
+
+        assert _resolve_layout("auto", 768, 12) == "pair"   # ViT-B/16
+        assert _resolve_layout("auto", 512, 8) == "pair"    # CLIP text
+        assert _resolve_layout("auto", 64, 4) == "split"    # ineligible
+        assert _resolve_layout("split", 768, 12) == "split"  # explicit wins
+        # None follows DEFAULT_LAYOUT
+        from textreid_tpu.ops import attention_pallas as ap
+
+        assert _resolve_layout(None, 64, 4) in (ap.DEFAULT_LAYOUT, "split")
+
+    def test_auto_layout_runs_both_paths(self):
+        """'auto' must execute: pair-eligible and ineligible shapes both
+        agree with the oracle through the same entry point."""
+        for batch, seq, heads, head_dim in [(2, 8, 2, 64), (2, 8, 4, 16)]:
+            qkv = _qkv(jax.random.PRNGKey(7), batch, seq, heads, head_dim,
+                       jnp.float32)
+            ref = xla_attention(qkv, heads=heads)
+            out = fused_attention(qkv, heads=heads, interpret=True,
+                                  layout="auto")
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-6, rtol=2e-6)
+
     def test_pick_block_batch(self):
         assert _pick_block_batch(128, 8) == 8
         assert _pick_block_batch(5, 8) == 5
@@ -112,7 +164,7 @@ class TestHybridVJP:
         np.testing.assert_allclose(np.asarray(g_h), np.asarray(g_x),
                                    atol=1e-5, rtol=1e-5)
 
-    @pytest.mark.parametrize("layout", ["fused", "split"])
+    @pytest.mark.parametrize("layout", ["fused", "split", "pair"])
     @pytest.mark.parametrize(
         "batch,seq,heads,head_dim,causal",
         [
@@ -123,6 +175,7 @@ class TestHybridVJP:
     )
     def test_bwd_kernel_matches_xla_vjp(self, batch, seq, heads, head_dim,
                                         causal, layout):
+        _pair_or_skip(layout, heads, head_dim)
         qkv = _qkv(jax.random.PRNGKey(11), batch, seq, heads, head_dim,
                    jnp.float32)
         g = jax.random.normal(jax.random.PRNGKey(12),

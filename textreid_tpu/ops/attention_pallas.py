@@ -174,6 +174,113 @@ def _fused_attention_local(qkv, *, heads: int, causal: bool = False,
     return out
 
 
+def _heads_per_lane_block(width: int, heads: int) -> int:
+    """Heads per 128-lane block for the zero-copy ``pair`` layout, or 0
+    when the shape is ineligible.
+
+    Mosaic requires last-dim blocks to be multiples of 128 lanes (or the
+    whole dim), so per-head ``head_dim``-wide blocks at ``h*head_dim``
+    offsets are illegal for head_dim=64 — the reason the original
+    ``fused`` layout fails to lower on hardware.  But a 128-lane block IS
+    legal, and at head_dim<=128 it holds exactly ``128//head_dim`` whole
+    heads; with ``width % 128 == 0`` the q/k/v base offsets inside the
+    [B, S, 3W] slab are lane-block-aligned too.  The kernel then slices
+    heads out of the loaded block in VMEM (a vector relayout, not an HBM
+    pass) — zero copies on either side of the custom call."""
+    if width % 128:
+        return 0
+    head_dim = width // heads
+    if head_dim > 128 or 128 % head_dim:
+        return 0
+    hpb = 128 // head_dim
+    if heads % hpb:
+        return 0
+    return hpb
+
+
+def _attention_pair_kernel(q_ref, k_ref, v_ref, out_ref,
+                           *, scale: float, causal: bool, head_dim: int):
+    """Forward for one [Bt, S, 128] lane block = ``128//head_dim`` whole
+    heads, sliced out of the block in VMEM.  Same math per head as
+    ``_attention_kernel``; the sub-head loop is a static Python loop, so
+    each head's [Bt, S, S] score tile is live one at a time."""
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    seq = q.shape[1]
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (seq, seq), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (seq, seq), 1)
+        keep = (col <= row)[None]
+    outs = []
+    for i in range(q.shape[2] // head_dim):
+        sl = slice(i * head_dim, (i + 1) * head_dim)
+        s = jax.lax.dot_general(
+            q[:, :, sl], k[:, :, sl],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if causal:
+            s = jnp.where(keep, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v[:, :, sl],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append((o / denom).astype(out_ref.dtype))
+    out_ref[:] = outs[0] if len(outs) == 1 else jnp.concatenate(outs, -1)
+
+
+def _fused_attention_local_pair(qkv, *, heads: int, causal: bool = False,
+                                scale: float | None = None,
+                                block_batch: int = 8,
+                                interpret: bool = False):
+    """Zero-copy layout: 128-lane head-pair blocks over the [B, S, 3W]
+    slab (see ``_heads_per_lane_block``).  No ``_split_heads`` transpose
+    on the way in and the output is written directly in [B, S, W] layout
+    — the slab-sized HBM copies the ``split`` layout pays per layer
+    (measured 0.707 ms x 12 layers per tower pass in the ViT-B/16 train
+    step breakdown) never exist."""
+    batch, seq, three_w = qkv.shape
+    _validate_qkv(qkv, heads)
+    width = three_w // 3
+    head_dim = width // heads
+    hpb = _heads_per_lane_block(width, heads)
+    if not hpb:
+        raise ValueError(
+            f"pair layout needs width % 128 == 0 and head_dim | 128 "
+            f"(got width={width}, heads={heads}); use layout='split'.")
+    if scale is None:
+        scale = float(head_dim) ** -0.5
+
+    bt = _pick_block_batch(batch, block_batch, seq=seq, score_tiles=2)
+    grid = (batch // bt, heads // hpb)
+    lanes_w = width // 128   # lane-block count of one tensor inside the slab
+
+    blk = (bt, seq, 128)
+    out = pl.pallas_call(
+        functools.partial(_attention_pair_kernel, scale=scale, causal=causal,
+                          head_dim=head_dim),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(blk, lambda b, p: (b, 0, p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda b, p: (b, 0, lanes_w + p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda b, p: (b, 0, 2 * lanes_w + p),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(blk, lambda b, p: (b, 0, p),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, seq, width), qkv.dtype),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    return out
+
+
 def _split_heads(qkv, heads):
     """[B, S, 3W] -> (q, k, v) each [B*H, S, D] — the tile-conservative
     layout (last block dim == array dim, always legal for Mosaic) behind
@@ -251,7 +358,20 @@ def _batch_only(mesh, arg_shapes):
 DEFAULT_LAYOUT = "split"
 
 _LOCAL_FWD = {"fused": _fused_attention_local,
-              "split": _fused_attention_local_split}
+              "split": _fused_attention_local_split,
+              "pair": _fused_attention_local_pair}
+
+
+def _resolve_layout(layout: str | None, width: int, heads: int) -> str:
+    """Resolve ``None``/``"auto"`` to a concrete layout for this shape:
+    ``pair`` when the zero-copy lane-block layout is eligible (see
+    ``_heads_per_lane_block``), else ``split``.  Explicit layouts pass
+    through untouched."""
+    if layout is None:
+        layout = DEFAULT_LAYOUT
+    if layout != "auto":
+        return layout
+    return "pair" if _heads_per_lane_block(width, heads) else "split"
 
 
 def _make_partitioned(impl, n_args, sharding_rule):
@@ -309,12 +429,13 @@ def fused_attention(qkv, *, heads: int, causal: bool = False,
     batch axis (each device runs its own shard); seq/width shardings are
     reshard-ed to replicated by the partitioning rule.
     """
+    width = qkv.shape[-1] // 3
     if scale is None:
         # resolve before the lru_cache key so scale=None and the explicit
         # default hit the same partitioned instance
-        scale = float((qkv.shape[-1] // 3) // heads) ** -0.5
-    return _partitioned_fwd(heads, causal, scale, block_batch,
-                            interpret, layout or DEFAULT_LAYOUT)(qkv)
+        scale = float(width // heads) ** -0.5
+    return _partitioned_fwd(heads, causal, scale, block_batch, interpret,
+                            _resolve_layout(layout, width, heads))(qkv)
 
 
 def _attention_bwd_kernel(qkv_q_ref, qkv_k_ref, qkv_v_ref, g_ref,
@@ -445,8 +566,104 @@ def _fused_attention_bwd_local_split(qkv, g, *, heads: int,
         [_merge_heads(t, batch, heads) for t in (dq, dk, dv)], axis=-1)
 
 
+def _attention_pair_bwd_kernel(q_ref, k_ref, v_ref, g_ref,
+                               dq_ref, dk_ref, dv_ref,
+                               *, scale: float, causal: bool, head_dim: int):
+    """Backward for one 128-lane head-pair block (see
+    ``_attention_pair_kernel``); same per-head math as
+    ``_attention_bwd_kernel``."""
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    g = g_ref[:]
+    seq = q.shape[1]
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (seq, seq), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (seq, seq), 1)
+        keep = (col <= row)[None]
+    dqs, dks, dvs = [], [], []
+    for i in range(q.shape[2] // head_dim):
+        sl = slice(i * head_dim, (i + 1) * head_dim)
+        qi, ki, vi, gi = q[:, :, sl], k[:, :, sl], v[:, :, sl], g[:, :, sl]
+        s = jax.lax.dot_general(
+            qi, ki, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        if causal:
+            s = jnp.where(keep, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+        pc = p.astype(vi.dtype)
+        dvs.append(jax.lax.dot_general(
+            pc, gi, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype))
+        dp = jax.lax.dot_general(
+            gi, vi, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+        dsc = ds.astype(qi.dtype)
+        dqs.append(jax.lax.dot_general(
+            dsc, ki, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype))
+        dks.append(jax.lax.dot_general(
+            dsc, qi, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype))
+    for ref, parts in ((dq_ref, dqs), (dk_ref, dks), (dv_ref, dvs)):
+        ref[:] = parts[0] if len(parts) == 1 else jnp.concatenate(parts, -1)
+
+
+def _fused_attention_bwd_local_pair(qkv, g, *, heads: int,
+                                    causal: bool = False,
+                                    scale: float | None = None,
+                                    block_batch: int = 4,
+                                    interpret: bool = False):
+    """Backward on the zero-copy pair layout: q/k/v/g read straight from
+    their [B, S, 3W] / [B, S, W] arrays; dq/dk/dv emitted as three
+    [B, S, W] arrays already in slab order, so the only remaining
+    formatting pass is the final dqkv concatenate (which XLA typically
+    folds into the QKV-projection backward dot)."""
+    batch, seq, three_w = qkv.shape
+    _validate_qkv(qkv, heads)
+    width = three_w // 3
+    head_dim = width // heads
+    hpb = _heads_per_lane_block(width, heads)
+    if not hpb:
+        raise ValueError(
+            f"pair layout needs width % 128 == 0 and head_dim | 128 "
+            f"(got width={width}, heads={heads}); use layout='split'.")
+    if scale is None:
+        scale = float(head_dim) ** -0.5
+    bt = _pick_block_batch(batch, block_batch, seq=seq, score_tiles=4)
+    grid = (batch // bt, heads // hpb)
+    lanes_w = width // 128
+
+    blk = (bt, seq, 128)
+    w_spec = pl.BlockSpec(blk, lambda b, p: (b, 0, p),
+                          memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attention_pair_bwd_kernel, scale=scale,
+                          causal=causal, head_dim=head_dim),
+        grid=grid,
+        in_specs=[
+            w_spec,
+            pl.BlockSpec(blk, lambda b, p: (b, 0, lanes_w + p),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda b, p: (b, 0, 2 * lanes_w + p),
+                         memory_space=pltpu.VMEM),
+            w_spec,
+        ],
+        out_specs=[w_spec, w_spec, w_spec],
+        out_shape=[jax.ShapeDtypeStruct((batch, seq, width), qkv.dtype)
+                   for _ in range(3)],
+        interpret=interpret,
+    )(qkv, qkv, qkv, g)
+    return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
 _LOCAL_BWD = {"fused": _fused_attention_bwd_local,
-              "split": _fused_attention_bwd_local_split}
+              "split": _fused_attention_bwd_local_split,
+              "pair": _fused_attention_bwd_local_pair}
 
 
 @functools.lru_cache(maxsize=None)
@@ -472,10 +689,11 @@ def fused_attention_bwd(qkv, g, *, heads: int, causal: bool = False,
     [S, S] score/probability/ds tiles never touch HBM; three f32 [S, S]
     intermediates live per program, so the default sample block is
     smaller than the forward's.  Mesh-aware like the forward."""
+    width = qkv.shape[-1] // 3
     if scale is None:
-        scale = float((qkv.shape[-1] // 3) // heads) ** -0.5
-    return _partitioned_bwd(heads, causal, scale, block_batch,
-                            interpret, layout or DEFAULT_LAYOUT)(qkv, g)
+        scale = float(width // heads) ** -0.5
+    return _partitioned_bwd(heads, causal, scale, block_batch, interpret,
+                            _resolve_layout(layout, width, heads))(qkv, g)
 
 
 def xla_attention(qkv, *, heads: int, causal: bool = False,

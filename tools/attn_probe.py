@@ -49,7 +49,7 @@ def main():
                                           causal=causal), (qkv,),
                         iters=args.iters)
         print(f"{name} fwd xla: {t*1e3:.3f} ms", flush=True)
-        for layout in ("fused", "split"):
+        for layout in ("fused", "split", "pair"):
             for bb in args.blocks:
                 f = functools.partial(fused_attention, heads=heads,
                                       causal=causal, block_batch=bb,
@@ -72,7 +72,7 @@ def main():
 
             t = _timed_loop(xla_bwd, (qkv, g), iters=args.iters)
             print(f"{name} bwd xla(vjp): {t*1e3:.3f} ms", flush=True)
-            for layout in ("fused", "split"):
+            for layout in ("fused", "split", "pair"):
                 for bb in args.blocks:
                     f = functools.partial(fused_attention_bwd, heads=heads,
                                           causal=causal, block_batch=bb,
@@ -98,7 +98,7 @@ def main():
                 jax.vjp(lambda t_: xla_attention(t_, heads=heads,
                                                  causal=causal), qkv)[1](g)[0],
                 np.float32)
-        for layout in ("fused", "split"):
+        for layout in ("fused", "split", "pair"):
             try:
                 o = np.asarray(fused_attention(qkv, heads=heads,
                                                causal=causal, layout=layout),
