@@ -1,0 +1,378 @@
+"""True int8-dataflow ViT encoder: int8 activations into every block matmul.
+
+The transformer analogue of ``models/int8_tower.py`` (the conv-trunk int8
+graph): a post-training-quantized inference path for the serving / gallery
+index-build encode, the hot loop the reference spends its eval time in
+(`/root/reference/lib/engine/inference.py:14-26` — the upstream repo ships
+no transformer tower at all; this serves the beyond-reference ViT family).
+
+Why the transformer is the better int8 target than the conv trunk: the
+conv tower's measured ceiling was the VPU requant-epilogue tax on
+big-spatial / narrow-channel layers (~4-5 ps/element, exceeding the conv
+itself at layer1 — see int8_tower.py's header).  A ViT block's matmuls
+are all WIDE (contraction >= width=768 at B/16) and its activation
+tensors are small relative to the MACs they feed, so the same epilogue is
+proportionally tiny and the int8 MXU rate (probed 240-307 TF/s on wide
+layers, ~1.8x bf16) dominates.
+
+The graph, per transformer block (eval semantics of
+``models/vit.py:TransformerBlock``):
+
+* LayerNorm affine folding: ``Dense(ln(x)) == norm(x) @ (gamma[:,None]*W)
+  + (beta @ W + b)`` where ``norm`` is the UNSCALED normalization — so
+  the quantized tensor is ``norm(x)`` (per-token zero mean / unit
+  variance: a well-conditioned, outlier-tamed distribution) and the
+  gamma affine rides the weight fold for free;
+* every block matmul (qkv, out_proj, c_fc, c_proj) runs int8 x int8 ->
+  int32 with TWO-LEVEL input quantization: static per-channel scales
+  from a calibration pass folded into the kernels
+  (``(q*s) @ W == q @ (s[:,None]*W)``) set the relative channel
+  weighting, and a dynamic per-token scale (one VPU row-max, riding the
+  epilogue) stretches each token across the full int8 range — see
+  ``_requant_rowdyn``; weights quantized per-output-channel;
+* each epilogue is one fused elementwise chain on the matmul output
+  (``int32 -> *s_w[co] [*r_row] -> +b`` and, for out_proj/c_proj, the
+  residual add) in f32, emitted as bf16 into the residual stream;
+* attention itself (softmax(QK^T)V) stays bf16: at S<=257 it is ~4% of
+  the block's FLOPs and softmax wants float anyway;
+* the patchify conv quantizes like the trunk convs (3 input channels,
+  normalized-pixel scales); ``ln_pre``/``ln_post``/the final projection
+  stay bf16 (sub-1% of the FLOPs).
+
+Calibration needs no labels: batches with the serving input distribution
+run through the *folded float* graph — mathematically the float tower's
+eval forward — recording per-channel abs-max at every matmul input.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .model import preprocess_pixels
+from .vit import VisionTransformer
+
+# Quantized-matmul sites inside one block, in forward order.
+_BLOCK_SITES = ("qkv", "out_proj", "c_fc", "c_proj")
+
+
+def _norm_no_affine(x, eps: float = 1e-5):
+    """LayerNorm WITHOUT the affine (gamma/beta ride the consumer weight
+    fold); statistics in f32 like flax's LayerNorm."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return (xf - mean) * lax.rsqrt(var + eps)
+
+
+def _record_amax(record: Optional[dict], site: str, x) -> None:
+    if record is not None:
+        record[site] = jnp.max(jnp.abs(x.astype(jnp.float32)),
+                               axis=tuple(range(x.ndim - 1)))
+
+
+def _quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _attention(qkv, heads: int):
+    """bf16 attention on the fused-QKV layout — the XLA formulation (the
+    forward-only encode path is where XLA fuses it well; the Pallas
+    kernels earn their keep in the backward, which this graph never
+    runs)."""
+    from ..ops.attention_pallas import xla_attention
+
+    return xla_attention(qkv, heads=heads, causal=False)
+
+
+# ---------------------------------------------------------------------------
+# Folded float graph (calibration / agreement reference)
+# ---------------------------------------------------------------------------
+
+def _folded_vit_float(vit: VisionTransformer, params, x,
+                      record: Optional[dict] = None):
+    """Eval forward of the ViT with every LN-affine algebraically folded
+    into its consumer matmul — mathematically the module's forward (same
+    fp ops reassociated), recording per-channel abs-max at every
+    quantization site when ``record`` is given."""
+    batch = x.shape[0]
+    w = vit.width
+    xf = x.astype(jnp.float32)
+    _record_amax(record, "patch", xf)
+    kernel = jnp.asarray(params["patch_embed"]["kernel"], jnp.float32)
+    dn = lax.conv_dimension_numbers(xf.shape, kernel.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    h = lax.conv_general_dilated(xf, kernel, (vit.patch_size,) * 2,
+                                 "VALID", dimension_numbers=dn)
+    h = h.reshape(batch, -1, w)
+
+    cls = jnp.asarray(params["class_embedding"], jnp.float32)
+    h = jnp.concatenate([jnp.broadcast_to(cls, (batch, 1, w)), h], axis=1)
+    h = h + jnp.asarray(params["positional_embedding"], jnp.float32)[None]
+    pre = params["ln_pre"]
+    h = (_norm_no_affine(h) * jnp.asarray(pre["scale"], jnp.float32)
+         + jnp.asarray(pre["bias"], jnp.float32))
+
+    for i in range(vit.layers):
+        bp = params[f"block_{i}"]
+        n1 = _norm_no_affine(h)
+        _record_amax(record, f"block_{i}.qkv", n1)
+        g1 = jnp.asarray(bp["ln_1"]["scale"], jnp.float32)
+        b1 = jnp.asarray(bp["ln_1"]["bias"], jnp.float32)
+        wq = jnp.asarray(bp["qkv"]["kernel"], jnp.float32)
+        qkv = n1 @ (g1[:, None] * wq) + (
+            b1 @ wq + jnp.asarray(bp["qkv"]["bias"], jnp.float32))
+        attn = _attention(qkv.astype(jnp.float32), vit.heads)
+        _record_amax(record, f"block_{i}.out_proj", attn)
+        h = h + attn @ jnp.asarray(bp["out_proj"]["kernel"], jnp.float32) \
+            + jnp.asarray(bp["out_proj"]["bias"], jnp.float32)
+
+        n2 = _norm_no_affine(h)
+        _record_amax(record, f"block_{i}.c_fc", n2)
+        g2 = jnp.asarray(bp["ln_2"]["scale"], jnp.float32)
+        b2 = jnp.asarray(bp["ln_2"]["bias"], jnp.float32)
+        wf = jnp.asarray(bp["c_fc"]["kernel"], jnp.float32)
+        ff = n2 @ (g2[:, None] * wf) + (
+            b2 @ wf + jnp.asarray(bp["c_fc"]["bias"], jnp.float32))
+        ff = _quick_gelu(ff)
+        _record_amax(record, f"block_{i}.c_proj", ff)
+        h = h + ff @ jnp.asarray(bp["c_proj"]["kernel"], jnp.float32) \
+            + jnp.asarray(bp["c_proj"]["bias"], jnp.float32)
+
+    post = params["ln_post"]
+    cls_out = (_norm_no_affine(h[:, 0])
+               * jnp.asarray(post["scale"], jnp.float32)
+               + jnp.asarray(post["bias"], jnp.float32))
+    return cls_out @ jnp.asarray(params["proj"], jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Preparation: calibration + weight quantization
+# ---------------------------------------------------------------------------
+
+class Int8ViT(NamedTuple):
+    """Prepared int8 ViT: quantized folded weights + static act scales.
+
+    ``units``: site -> {"w_q" int8 [..., ci, co] (patch) or [ci, co]
+    (block matmuls), "s_w" f32 [co], "b" f32 [co]}; ``scales``: site ->
+    f32 [ci]; ``consts``: the bf16 remainder (cls/pos tables, ln_pre/
+    ln_post affines, final proj).  A pytree — pass it as a jit argument,
+    never close over it (the axon compile relay rejects large
+    constants)."""
+
+    units: Dict[str, dict]
+    scales: Dict[str, jax.Array]
+    consts: Dict[str, jax.Array]
+
+
+def calibrate_vit_amax(vit, params, batches, pixel_mean, pixel_std):
+    """Per-channel abs-max at every quantized-matmul input over
+    calibration batches ([B,H,W,3] uint8 or pre-normalized float),
+    elementwise max across batches on the host."""
+
+    @jax.jit
+    def one_batch(params, pixels):
+        if pixels.dtype == jnp.uint8:
+            pixels = preprocess_pixels(pixels, None, pixel_mean, pixel_std,
+                                       jnp.float32)
+        record = {}
+        _folded_vit_float(vit, params, pixels, record)
+        return record
+
+    acc: Dict[str, np.ndarray] = {}
+    for pixels in batches:
+        rec = jax.device_get(one_batch(params, jnp.asarray(pixels)))
+        for site, amax in rec.items():
+            prev = acc.get(site)
+            acc[site] = amax if prev is None else np.maximum(prev, amax)
+    if not acc:
+        raise ValueError("calibration needs at least one batch")
+    return acc
+
+
+def prepare_int8_vit(vit, params, amax: Dict[str, np.ndarray]) -> Int8ViT:
+    """Fold LN affines + per-input-channel activation scales into the
+    kernels and quantize per-output-channel (same recipe as
+    ``int8_tower.prepare_int8_tower``; symmetric everywhere — the
+    transformer has no ReLU edges to exploit asymmetrically)."""
+    units: Dict[str, dict] = {}
+    scales = {s: jnp.maximum(jnp.asarray(a, jnp.float32), 1e-8) / 127.0
+              for s, a in amax.items()}
+
+    def quantize(name, w_eff, bias):
+        s_w = jnp.maximum(jnp.max(jnp.abs(w_eff),
+                                  axis=tuple(range(w_eff.ndim - 1))),
+                          1e-12) / 127.0
+        w_q = jnp.clip(jnp.round(w_eff / s_w), -127, 127).astype(jnp.int8)
+        units[name] = {"w_q": w_q, "s_w": s_w,
+                      "b": bias.astype(jnp.float32)}
+
+    kernel = jnp.asarray(params["patch_embed"]["kernel"], jnp.float32)
+    quantize("patch", kernel * scales["patch"][None, None, :, None],
+             jnp.zeros((kernel.shape[-1],), jnp.float32))
+
+    for i in range(vit.layers):
+        bp = params[f"block_{i}"]
+        pre = f"block_{i}."
+        for site, dense, ln in ((f"{pre}qkv", "qkv", "ln_1"),
+                                (f"{pre}out_proj", "out_proj", None),
+                                (f"{pre}c_fc", "c_fc", "ln_2"),
+                                (f"{pre}c_proj", "c_proj", None)):
+            w = jnp.asarray(bp[dense]["kernel"], jnp.float32)
+            b = jnp.asarray(bp[dense]["bias"], jnp.float32)
+            s_in = scales[site]
+            if ln is not None:
+                g = jnp.asarray(bp[ln]["scale"], jnp.float32)
+                beta = jnp.asarray(bp[ln]["bias"], jnp.float32)
+                quantize(site, (g * s_in)[:, None] * w, beta @ w + b)
+            else:
+                quantize(site, s_in[:, None] * w, b)
+
+    consts = {
+        "cls": jnp.asarray(params["class_embedding"], jnp.float32),
+        "pos": jnp.asarray(params["positional_embedding"], jnp.float32),
+        "ln_pre_scale": jnp.asarray(params["ln_pre"]["scale"], jnp.float32),
+        "ln_pre_bias": jnp.asarray(params["ln_pre"]["bias"], jnp.float32),
+        "ln_post_scale": jnp.asarray(params["ln_post"]["scale"],
+                                     jnp.float32),
+        "ln_post_bias": jnp.asarray(params["ln_post"]["bias"], jnp.float32),
+        "proj": jnp.asarray(params["proj"], jnp.bfloat16),
+    }
+    return Int8ViT(units=units, scales=scales, consts=consts)
+
+
+# ---------------------------------------------------------------------------
+# int8 inference graph
+# ---------------------------------------------------------------------------
+
+def _requant_rowdyn(x, s_ci):
+    """f32 [..., ci] -> (int8, row scale f32 [..., 1]).
+
+    Two-level quantization: the static calibrated per-channel scale
+    ``s_ci`` (folded into the weights like int8_tower) sets the RELATIVE
+    channel weighting, and a dynamic per-token scale stretches each
+    token's normalized values across the full int8 range.  The dynamic
+    scale is what the conv tower couldn't afford (its epilogue tax was
+    the ceiling) but a ViT gets almost free: one VPU row-max over an
+    activation that is tiny next to the >=768-deep matmul it feeds, and
+    the scale multiplies into the existing f32 epilogue.  It matters
+    because the transformer's unnormalized tensors (attention outputs,
+    GELU outputs) have per-token ranges far below the calibration
+    abs-max — static-only quantization wastes most of the 8 bits on
+    them."""
+    xn = x * jax.lax.reciprocal(s_ci)
+    r = jnp.maximum(jnp.max(jnp.abs(xn), axis=-1, keepdims=True),
+                    1e-6) * (1.0 / 127.0)
+    v = xn * jax.lax.reciprocal(r)
+    # round-half-away via +-0.5-and-truncate (see int8_tower._requant)
+    v = v + jnp.where(v >= 0, 0.5, -0.5)
+    q = jnp.clip(v, -127.0, 127.0).astype(jnp.int8)
+    return q, r
+
+
+def _int8_matmul(tower: Int8ViT, site: str, xq, row_scale=None):
+    """int8 x int8 -> int32 -> f32 epilogue (``*s_w [*r_row] + b``)."""
+    u = tower.units[site]
+    y = lax.dot_general(xq, u["w_q"], (((xq.ndim - 1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * u["s_w"]
+    if row_scale is not None:
+        y = y * row_scale
+    return y + u["b"]
+
+
+def int8_vit_apply(vit: VisionTransformer, tower: Int8ViT, x) -> jax.Array:
+    """Normalized float pixels [B,H,W,3] -> [B, output_dim] embeddings.
+    Every block matmul consumes int8; the residual stream and attention
+    stay in the module's float dtype (bf16 in production — the same
+    carrier the float tower uses, so it adds no error relative to it)."""
+    batch = x.shape[0]
+    w = vit.width
+    fdt = vit.dtype
+
+    # The patchify conv contracts over the whole receptive field, so its
+    # dynamic scale must be uniform over everything contracted: one scale
+    # per image (max over H, W, C of the channel-normalized pixels).
+    xn = x.astype(jnp.float32) * jax.lax.reciprocal(tower.scales["patch"])
+    r_img = jnp.maximum(jnp.max(jnp.abs(xn), axis=(1, 2, 3), keepdims=True),
+                        1e-6) * (1.0 / 127.0)
+    v = xn * jax.lax.reciprocal(r_img)
+    v = v + jnp.where(v >= 0, 0.5, -0.5)
+    xq = jnp.clip(v, -127.0, 127.0).astype(jnp.int8)
+    u = tower.units["patch"]
+    dn = lax.conv_dimension_numbers(xq.shape, u["w_q"].shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    h = lax.conv_general_dilated(xq, u["w_q"], (vit.patch_size,) * 2,
+                                 "VALID", dimension_numbers=dn,
+                                 preferred_element_type=jnp.int32)
+    h = (h.astype(jnp.float32) * u["s_w"] * r_img).reshape(batch, -1, w)
+
+    h = jnp.concatenate(
+        [jnp.broadcast_to(tower.consts["cls"], (batch, 1, w)), h], axis=1)
+    h = h + tower.consts["pos"][None]
+    h = (_norm_no_affine(h) * tower.consts["ln_pre_scale"]
+         + tower.consts["ln_pre_bias"]).astype(fdt)
+
+    for i in range(vit.layers):
+        pre = f"block_{i}."
+        q8, rq = _requant_rowdyn(_norm_no_affine(h),
+                                 tower.scales[f"{pre}qkv"])
+        qkv = _int8_matmul(tower, f"{pre}qkv", q8, rq).astype(fdt)
+        attn = _attention(qkv, vit.heads)
+        a8, ra = _requant_rowdyn(attn.astype(jnp.float32),
+                                 tower.scales[f"{pre}out_proj"])
+        h = h + _int8_matmul(tower, f"{pre}out_proj", a8, ra).astype(fdt)
+
+        f8, rf = _requant_rowdyn(_norm_no_affine(h),
+                                 tower.scales[f"{pre}c_fc"])
+        ff = _quick_gelu(_int8_matmul(tower, f"{pre}c_fc", f8, rf))
+        g8, rg = _requant_rowdyn(ff, tower.scales[f"{pre}c_proj"])
+        h = h + _int8_matmul(tower, f"{pre}c_proj", g8, rg).astype(fdt)
+
+    cls_out = (_norm_no_affine(h[:, 0]) * tower.consts["ln_post_scale"]
+               + tower.consts["ln_post_bias"])
+    return cls_out.astype(fdt) @ tower.consts["proj"].astype(fdt)
+
+
+# ---------------------------------------------------------------------------
+# Serving integration
+# ---------------------------------------------------------------------------
+
+def build_int8_vit_encoder(model, state, calib_batches):
+    """Calibrate + prepare, returning ``(encode, tower)``: ``encode`` is a
+    jitted ``(state, tower, pixels, erase) -> normalized embeddings``
+    drop-in for serving.RetrievalIndex's image encoder (mirror of
+    ``int8_tower.build_int8_encoder`` for the ViT family)."""
+    visual = model.visual
+    if not isinstance(visual, VisionTransformer):
+        raise NotImplementedError(
+            f"int8 ViT encoder needs a VisionTransformer tower; got "
+            f"{type(visual).__name__}")
+    vparams = state.params["visual"]
+    amax = calibrate_vit_amax(visual, vparams, calib_batches,
+                              model.pixel_mean, model.pixel_std)
+    tower = prepare_int8_vit(visual, vparams, amax)
+
+    from .losses import l2_normalize
+
+    @jax.jit
+    def encode(state, tower, pixels, erase):
+        # uint8 = raw pixels needing on-device normalization; float =
+        # already normalized (same contract as CompositeModel.encode_image
+        # — double-normalizing would land far outside the calibrated
+        # ranges, a silently garbage index).
+        if pixels.dtype == jnp.uint8:
+            x = preprocess_pixels(pixels, erase, model.pixel_mean,
+                                  model.pixel_std, jnp.float32)
+        else:
+            x = pixels.astype(jnp.float32)
+        feat = int8_vit_apply(visual, tower, x)
+        emb = model.apply({"params": state.params}, feat,
+                          method="embed_image")
+        return l2_normalize(emb.astype(jnp.float32), axis=1)
+
+    return encode, tower
