@@ -264,6 +264,13 @@ def topk_similarity(
     return vals, idx
 
 
+# Gallery tiles per scale DMA in the int8 kernel: per-tile scale slices
+# are tiny ([1, Gt] = 8 KB), so fetching them one tile at a time costs a
+# DMA issue+wait pair per tile — pure scalar-core overhead at ~500 tiles
+# per 1M-row stream.  Chunking amortizes that 8x for 128 KB of VMEM.
+SCALE_CHUNK = 8
+
+
 def _make_quant_kernel(k: int, gallery_tile: int, valid_gallery: int):
     """Streaming top-k over an int8-quantized gallery (ops/quant.py rows).
 
@@ -272,10 +279,13 @@ def _make_quant_kernel(k: int, gallery_tile: int, valid_gallery: int):
     ``quant.quantized_scores`` — bf16 query x bf16(int8) contraction with
     f32 accumulation, scales folded in per score column — so results match
     the materializing path bit for bit (int8 -> bf16 is exact).  Same
-    static clean/tail tile split as the f32 kernel."""
+    static clean/tail tile split as the f32 kernel.  Scales arrive
+    pre-tiled as [num_chunks * SCALE_CHUNK, gallery_tile] and stream one
+    CHUNK (SCALE_CHUNK tiles) per DMA."""
     num_clean = valid_gallery // gallery_tile
     tail_rows = valid_gallery % gallery_tile
     num_proc = num_clean + (1 if tail_rows else 0)
+    num_chunks = -(-num_proc // SCALE_CHUNK)
 
     def kernel(q_ref, g_hbm, s_hbm, vals_ref, idx_ref, g_scratch, s_scratch,
                sem, s_sem):
@@ -289,12 +299,10 @@ def _make_quant_kernel(k: int, gallery_tile: int, valid_gallery: int):
                 sem.at[slot],
             )
 
-        def s_dma(slot, tile):
-            # scales ship as [1, G] and slice along the LANE dim: a 1-D f32
-            # HBM ref tiles at 1024 elements and a 512-row slice is
-            # misaligned (Mosaic rejects it — caught on-chip, round 3)
+        def s_dma(slot, chunk):
+            # one [SCALE_CHUNK, Gt] row-block of the pre-tiled scales
             return pltpu.make_async_copy(
-                s_hbm.at[:, pl.ds(tile * gallery_tile, gallery_tile)],
+                s_hbm.at[pl.ds(chunk * SCALE_CHUNK, SCALE_CHUNK), :],
                 s_scratch.at[slot],
                 s_sem.at[slot],
             )
@@ -308,14 +316,22 @@ def _make_quant_kernel(k: int, gallery_tile: int, valid_gallery: int):
         def tile_body(tile, carry, masked):
             run_vals, run_idx = carry
             slot = tile % 2
+            chunk = tile // SCALE_CHUNK
+            pos = tile % SCALE_CHUNK
 
             @pl.when(tile + 1 < num_proc)
             def _():
                 g_dma((tile + 1) % 2, tile + 1).start()
-                s_dma((tile + 1) % 2, tile + 1).start()
+
+            @pl.when(pos == 0)
+            def _():
+                s_dma(chunk % 2, chunk).wait()
+
+                @pl.when(chunk + 1 < num_chunks)
+                def _():
+                    s_dma((chunk + 1) % 2, chunk + 1).start()
 
             g_dma(slot, tile).wait()
-            s_dma(slot, tile).wait()
 
             # int8 -> bf16 is exact for |v| <= 127; f32 accumulation
             raw = jax.lax.dot_general(
@@ -323,7 +339,10 @@ def _make_quant_kernel(k: int, gallery_tile: int, valid_gallery: int):
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [Qt, Gt]
-            scores = raw * s_scratch[slot]  # [1, Gt] broadcasts over rows
+            # [1, Gt] row of this chunk's scales broadcasts over rows
+            s_row = jax.lax.dynamic_slice_in_dim(
+                s_scratch[chunk % 2], pos, 1, axis=0)
+            scores = raw * s_row
             if masked:  # static: only the tail tile has padding rows
                 col = jax.lax.broadcasted_iota(
                     jnp.int32, (qt, gallery_tile), 1)
@@ -370,6 +389,14 @@ def topk_similarity_quantized(
     assert g_count % gallery_tile == 0, (g_count, gallery_tile)
 
     kernel = _make_quant_kernel(k, gallery_tile, valid_gallery or g_count)
+    # Pre-tile the scales to [num_chunks * SCALE_CHUNK, gallery_tile] so
+    # the kernel streams them SCALE_CHUNK tiles per DMA (row padding is
+    # never read: padded tiles are beyond num_proc).
+    num_tiles = g_count // gallery_tile
+    pad_tiles = (-num_tiles) % SCALE_CHUNK
+    s2d = scales.astype(jnp.float32).reshape(num_tiles, gallery_tile)
+    if pad_tiles:
+        s2d = jnp.pad(s2d, ((0, pad_tiles), (0, 0)))
     vals, idx = pl.pallas_call(
         kernel,
         grid=(q_count // query_tile,),
@@ -382,7 +409,7 @@ def topk_similarity_quantized(
                 (query_tile, dim), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),  # int8 gallery in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # per-row scales in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # tiled scales in HBM
         ],
         out_specs=(
             pl.BlockSpec((query_tile, k), lambda i: (i, 0),
@@ -392,13 +419,12 @@ def topk_similarity_quantized(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, gallery_tile, dim), jnp.int8),
-            pltpu.VMEM((2, 1, gallery_tile), jnp.float32),
+            pltpu.VMEM((2, SCALE_CHUNK, gallery_tile), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(queries.astype(jnp.float32), gallery_q,
-      scales.astype(jnp.float32)[None, :])
+    )(queries.astype(jnp.float32), gallery_q, s2d)
     return vals, idx
 
 
