@@ -268,11 +268,16 @@ def bench_train_step():
     variant = os.environ.get("BENCH_TRAIN_MODEL", "")
     fused = os.environ.get("BENCH_TRAIN_FUSED_ATTN", "") == "1"
     attn_mode = os.environ.get("BENCH_TRAIN_ATTN_MODE", "")
+    # BENCH_TRAIN_ATTN_LAYOUT overrides the Pallas block layout for the
+    # pair-vs-split step-level A/B; unset uses the config default.
+    attn_layout = os.environ.get("BENCH_TRAIN_ATTN_LAYOUT", "")
     try:
         cfg = flagship_cfg(variant, fused_attention=fused,
                            attn_mode=attn_mode, tokens=TOKENS)
     except ValueError as e:
         raise SystemExit(str(e))
+    if attn_layout:
+        cfg.TPU.FUSED_ATTENTION_LAYOUT = attn_layout
 
     bs = int(os.environ.get("BENCH_TRAIN_BS", BATCH))
     assert cfg.MODEL.MOCO.K % bs == 0, (cfg.MODEL.MOCO.K, bs)
@@ -301,6 +306,7 @@ def bench_train_step():
         fused_tag_early = ("_fusedattn" if attn_mode == "on"
                            else f"_fusedattn_{cfg.TPU.FUSED_ATTENTION_MODE}")
     tag = ((f"_{variant}" if variant else "") + fused_tag_early
+           + (f"_{attn_layout}" if attn_layout else "")
            + (f"_accum{accum}" if accum > 1 else ""))
     t0 = time.time()
     try:
@@ -610,9 +616,48 @@ def bench_stages():
             f"min cosine {cos.min():.5f}")
 
         # composed: int8 MXU for the block matmuls + Pallas attention for
-        # the HBM-bound score tensor (independent levers, same tower)
+        # the HBM-bound score tensor (independent levers, same lever pair
+        # the interceptor path composes)
         stage("vit_fwd_int8_fused_attn", int8_dense_apply(vit_fused),
               (vitvars, pixels), iters=50, extra_flops=vit_attn_flops)
+
+        # TRUE int8-dataflow ViT (models/int8_vit.py, VERDICT r4 next-2):
+        # LN affines folded into per-channel-quantized weights, two-level
+        # (static per-channel x dynamic per-token) input requant, every
+        # block matmul int8 x int8 -> int32, Pallas pair-layout attention
+        # in bf16.  Calibrated on the benched input distribution.
+        from textreid_tpu.models.int8_vit import (
+            calibrate_vit_amax,
+            int8_vit_apply,
+            prepare_int8_vit,
+        )
+
+        xf32 = pixels.astype(jnp.float32)
+        amax8 = calibrate_vit_amax(vit, vitvars["params"], [xf32],
+                                   (0.5,) * 3, (0.25,) * 3)
+        tower8 = jax.device_put(prepare_int8_vit(vit, vitvars["params"],
+                                                 amax8))
+        jax.block_until_ready(tower8)
+        stage("vit_fwd_int8_dataflow",
+              lambda t, x: int8_vit_apply(vit, t, x), (tower8, xf32),
+              iters=50, extra_flops=vit_attn_flops)
+        d = np.asarray(jax.jit(
+            lambda t, x: int8_vit_apply(vit, t, x))(tower8, xf32),
+            np.float32)
+        cos8 = (a * d).sum(1) / (np.linalg.norm(a, axis=1)
+                                 * np.linalg.norm(d, axis=1) + 1e-12)
+        report["vit_int8_dataflow_min_cosine"] = float(cos8.min())
+        report["vit_int8_dataflow_speedup_vs_bf16"] = round(
+            report["vit_fwd_ms"] / report["vit_fwd_int8_dataflow_ms"], 3)
+        # vs the BEST bf16 tower (Pallas attention) — the attention win is
+        # available to both, so this ratio isolates the int8 dataflow
+        report["vit_int8_dataflow_speedup_vs_bf16_fused"] = round(
+            report["vit_fwd_fused_attn_ms"]
+            / report["vit_fwd_int8_dataflow_ms"], 3)
+        log(f"vit int8 dataflow: {report['vit_fwd_int8_dataflow_ms']:.2f} "
+            f"ms vs bf16 {report['vit_fwd_ms']:.2f} ms "
+            f"({report['vit_int8_dataflow_speedup_vs_bf16']}x), "
+            f"min cosine {cos8.min():.5f}")
 
     # attention pool alone at the RN50 grid ([B, 12, 4, 2048])
     pool = AttentionPool2d(spacial_dim=(12, 4), embed_dim=2048, num_heads=32,

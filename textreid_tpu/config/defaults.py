@@ -219,19 +219,24 @@ _C.TPU.GRU_PALLAS = False
 _C.TPU.FUSED_ATTENTION = False
 # Visual-tower lowering: "on" = Pallas fwd + bwd, "bwd" = XLA fwd +
 # Pallas bwd, "off" = XLA.  Default "on" per the step-level A/B on v5e
-# (bench.py --train, BENCH_TRAIN_BS128_VIT*.json): ViT-B/16 MoCo step
-# 205.1 ms XLA -> 196.7 ms all-Pallas -> 205.2 ms "bwd".  The standalone
-# probe (tools/attn_probe.py) has XLA's lone forward slightly ahead of
-# the kernel (1.72 vs 1.87 ms), but inside the real step that edge
-# disappears — the step-level artifacts, not the standalone ladder, set
-# this default.
+# (bench.py --train, BENCH_TRAIN_BS128_VIT*.json): with the pair layout
+# the ViT-B/16 MoCo step runs 150.1 ms vs 196.5 ms (split layout) vs
+# ~205 ms (XLA) — the kernel wins both directions outright at S=193
+# (probe: fwd 0.676 ms vs XLA 1.670, bwd 1.206 vs 4.165).
 _C.TPU.FUSED_ATTENTION_MODE = "on"
 # Text-tower lowering.  Default "off": at the CLIP text shape (S=77) the
-# XLA formulation wins BOTH directions (fwd 0.105 ms vs kernel 0.348,
-# bwd 0.329 vs 0.713 — the sequence is too short to amortize the split
-# layout's transpose passes), and the fullclip train A/B confirms it
-# end-to-end (235 -> 242 ms with both towers fused "on").
+# XLA formulation still wins even against the zero-copy pair layout —
+# fullclip step-level A/B (2026-08-19, same session): text XLA 176.4 ms
+# vs text pair 179.4 ms — the sequence is too short to amortize the
+# custom-call boundary at all.
 _C.TPU.FUSED_ATTENTION_TEXT_MODE = "off"
+# Block layout of the Pallas attention kernels: "split" streams
+# transposed [B*H, S, D] operands (always legal, pays a slab-sized HBM
+# transpose per operand per call), "pair" reads whole head-pairs
+# straight out of the [B, S, 3W] QKV slab via 128-lane blocks (zero
+# copies; needs width % 128 == 0 and head_dim | 128), "auto" picks pair
+# when the shape is eligible and split otherwise.
+_C.TPU.FUSED_ATTENTION_LAYOUT = "auto"
 # Ship uint8 pixels and fuse /255 -> normalize -> random-erase fill into the
 # jitted device step (4x less host->device traffic than f32). False restores
 # the reference's all-host float pipeline.

@@ -80,12 +80,15 @@ def _quick_gelu(x):
 
 
 def _attention(qkv, heads: int):
-    """bf16 attention on the fused-QKV layout — the XLA formulation (the
-    forward-only encode path is where XLA fuses it well; the Pallas
-    kernels earn their keep in the backward, which this graph never
-    runs)."""
-    from ..ops.attention_pallas import xla_attention
+    """bf16 attention on the fused-QKV layout.  On TPU this is the Pallas
+    kernel in its zero-copy layout when eligible (the on-chip probe has
+    the pair forward at 0.676 ms vs XLA's 1.670 at the ViT-B/16 shape);
+    elsewhere (CPU tests) the XLA formulation — same math."""
+    from ..ops.attention_pallas import fused_attention, xla_attention
 
+    if jax.default_backend() == "tpu":
+        return fused_attention(qkv, heads=heads, causal=False,
+                               layout="auto")
     return xla_attention(qkv, heads=heads, causal=False)
 
 

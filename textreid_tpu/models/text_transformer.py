@@ -62,6 +62,7 @@ class TextTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     # Fused Pallas attention mode (see models/vit.py:TransformerBlock).
     fused_attention: Union[bool, str] = False
+    attn_layout: str = "auto"
     attn_interpret: bool = False
 
     @property
@@ -107,6 +108,7 @@ class TextTransformer(nn.Module):
             x = TransformerBlock(
                 self.width, self.heads, self.dtype, causal=True,
                 fused_attention=self.fused_attention,
+                attn_layout=self.attn_layout,
                 attn_interpret=self.attn_interpret,
                 name=f"block_{i}",
             )(x)
@@ -160,5 +162,6 @@ def build_text_transformer(cfg, dtype=jnp.float32) -> TextTransformer:
         context_length=t.CONTEXT_LENGTH,
         dtype=dtype,
         fused_attention=fused_attention_from_cfg(cfg, tower="text"),
+        attn_layout=str(getattr(cfg.TPU, "FUSED_ATTENTION_LAYOUT", "auto")),
         **spec,
     )

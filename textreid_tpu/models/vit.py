@@ -56,15 +56,17 @@ class TransformerBlock(nn.Module):
     #   False / "off"  — XLA formulation, fwd and bwd (the default);
     #   True  / "on"   — Pallas kernel, fwd and bwd — the step-level
     #                    winner for ViT-B/16 training on v5e (bench.py
-    #                    --train A/B: 205.1 -> 196.7 ms);
-    #   "bwd"          — XLA fwd + Pallas bwd.  The standalone probe
-    #                    predicted this fastest (XLA's lone fwd 1.72 ms vs
-    #                    the kernel's 1.87) but the step-level A/B refutes
-    #                    it (205.2 ms — the XLA fwd loses its standalone
-    #                    edge inside the full step); kept as a measured
-    #                    escape hatch.
+    #                    --train A/B with the pair layout: 196.5 ms split
+    #                    -> 150.1 ms pair vs 205 ms XLA);
+    #   "bwd"          — XLA fwd + Pallas bwd.  Mattered when the split
+    #                    layout's forward lost to XLA (probe 1.72 vs
+    #                    1.87 ms); the pair forward wins outright
+    #                    (0.676 ms) — kept as a measured escape hatch.
     # Param tree is identical in every mode.
     fused_attention: Union[bool, str] = False
+    # Block layout for the Pallas kernels (see ops/attention_pallas
+    # _resolve_layout): "auto" = zero-copy pair layout when eligible.
+    attn_layout: str = "auto"
     # Run the Pallas kernel in interpreter mode (CPU tests only).
     attn_interpret: bool = False
 
@@ -79,6 +81,7 @@ class TransformerBlock(nn.Module):
 
             attn = hybrid_attention(qkv, self.heads, self.causal, None,
                                     8, self.attn_interpret,
+                                    layout=self.attn_layout,
                                     pallas_fwd=(mode == "on"))
         else:
             # same contract as the kernel's agreement oracle — one
@@ -104,6 +107,7 @@ class VisionTransformer(nn.Module):
     output_dim: int = 512
     dtype: jnp.dtype = jnp.float32
     fused_attention: Union[bool, str] = False
+    attn_layout: str = "auto"
     attn_interpret: bool = False
 
     @property
@@ -158,6 +162,7 @@ class VisionTransformer(nn.Module):
             x = TransformerBlock(
                 self.width, self.heads, self.dtype,
                 fused_attention=self.fused_attention,
+                attn_layout=self.attn_layout,
                 attn_interpret=self.attn_interpret, name=f"block_{i}"
             )(x)
 
@@ -220,5 +225,7 @@ def build_vit(cfg, dtype=jnp.float32) -> VisionTransformer:
         )
     return VisionTransformer(
         input_resolution=(cfg.INPUT.HEIGHT, cfg.INPUT.WIDTH),
-        dtype=dtype, fused_attention=fused_attention_from_cfg(cfg), **spec,
+        dtype=dtype, fused_attention=fused_attention_from_cfg(cfg),
+        attn_layout=str(getattr(cfg.TPU, "FUSED_ATTENTION_LAYOUT", "auto")),
+        **spec,
     )

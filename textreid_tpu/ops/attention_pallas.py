@@ -16,11 +16,16 @@ needed: one program computes softmax(QK^T * scale) V for a block of
 scores never touch HBM.
 
 Zero-copy head slicing: the kernel consumes the fused QKV projection
-output ``[B, S, 3W]`` DIRECTLY.  q/k/v for head ``h`` are three BlockSpecs
-over the same array whose index maps pick the ``[Bt, S, D]`` slab at last-
-dim offsets ``h*D``, ``W + h*D``, ``2W + h*D`` — the ``jnp.split``, the
-``[B, S, H, D]`` reshape, and the head transpose all vanish from the XLA
-graph (each was an HBM round-trip of the full activation).
+output ``[B, S, 3W]`` DIRECTLY.  In the shipped ``pair`` layout, q/k/v
+arrive as 128-lane blocks of the slab holding ``128/head_dim`` whole
+heads at lane-aligned offsets (legal for Mosaic, unlike the per-head
+64-lane-offset ``fused`` layout, which fails to lower on hardware) and
+the kernel slices heads out of the block in VMEM — the ``jnp.split``,
+the ``[B, S, H, D]`` reshape, and the head transpose all vanish from the
+XLA graph (each was an HBM round-trip of the full activation).  The
+``split`` layout is the always-legal fallback: tile-conservative
+[B*H, S, D] operands at the price of one physical transpose pass per
+tensor on each side of the call.
 
 Numerics follow ``jax.nn.dot_product_attention``'s published semantics:
 logits and softmax in f32 regardless of input dtype, probabilities cast
@@ -32,10 +37,10 @@ VMEM, dqkv emitted through the same head slabs — probabilities are never
 stored as residuals nor re-streamed); ``pallas_bwd=False`` falls back to
 differentiating the bit-equivalent XLA formulation, the conservative
 pattern ``ops/gru_pallas.make_hybrid_scan`` uses.  ``pallas_fwd=False``
-pairs the XLA forward with the Pallas backward — the fastest measured
-combination for ViT-B/16 training on v5e (tools/attn_probe.py: the
-backward is where XLA pays the [B, H, S, S] HBM tax, the forward it
-fuses well enough to beat the split-layout kernel's transpose passes).
+pairs the XLA forward with the Pallas backward — it mattered when the
+split layout's forward lost to XLA's fused formulation; with the pair
+layout the kernel wins both directions outright (ViT-B/16 probe: fwd
+0.676 ms vs XLA 1.670, bwd 1.206 vs 4.165).
 
 Both kernels are mesh-native: a ``custom_partitioning`` rule shares only
 the batch factor, so a batch-sharded jit runs one kernel per device on
@@ -345,17 +350,22 @@ def _batch_only(mesh, arg_shapes):
 
 
 # Block layout used when callers don't override: "fused" = zero-copy
-# head-slab BlockSpecs over the qkv array; "split" = tile-conservative
-# [B*H, S, D] (one transpose pass per operand).  Switched by on-chip
-# probing (tools/attn_probe.py).
+# per-head BlockSpecs (64-lane offsets — CONFIRMED NOT to lower on
+# hardware, kept for interpret-mode reference); "split" =
+# tile-conservative [B*H, S, D] (always legal, one transpose pass per
+# operand); "pair" = zero-copy 128-lane head-pair blocks (legal whenever
+# width % 128 == 0 and head_dim | 128); "auto" = pair when eligible,
+# split otherwise.
 #
-# "split" is the default until the fused layout's head_dim-wide last-dim
-# blocks (at 64-lane offsets) are CONFIRMED to lower on real hardware —
-# they sit outside Mosaic's documented (sublane, 128) block-alignment
-# rule, and a default must compile everywhere.  If the probe shows the
-# fused layout both lowers and wins, flip this constant with the numbers
-# in hand.
-DEFAULT_LAYOUT = "split"
+# Default "auto", from the on-chip probe (tools/attn_probe.py, v5e,
+# 2026-08-19, iters=50): at the ViT-B/16 shape [128,193,12,64] the pair
+# kernels are ~3x the split kernels and ~2.5-3.5x the XLA formulation —
+# fwd 0.676 ms (split 2.088, XLA 1.670), bwd 1.206 ms (split 3.317, XLA
+# vjp 4.165) — because the slab-sized HBM transposes on both sides of
+# the split custom-call (the ViT step breakdown's 0.707 ms x 12-layer
+# "data formatting" copies) simply never exist.  Agreement on-chip:
+# pair == split to the shared bf16 tolerance at both production shapes.
+DEFAULT_LAYOUT = "auto"
 
 _LOCAL_FWD = {"fused": _fused_attention_local,
               "split": _fused_attention_local_split,
