@@ -340,8 +340,9 @@ def _make_quant_kernel(k: int, gallery_tile: int, valid_gallery: int):
                 preferred_element_type=jnp.float32,
             )  # [Qt, Gt]
             # [1, Gt] row of this chunk's scales broadcasts over rows
-            s_row = jax.lax.dynamic_slice_in_dim(
-                s_scratch[chunk % 2], pos, 1, axis=0)
+            # (sliced at the REF level: Mosaic has no dynamic_slice on
+            # loaded values — caught on-chip)
+            s_row = s_scratch[chunk % 2, pl.ds(pos, 1), :]
             scores = raw * s_row
             if masked:  # static: only the tail tile has padding rows
                 col = jax.lax.broadcasted_iota(

@@ -62,8 +62,15 @@ PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5e": 197e12}
 PEAK_BW = {"TPU v5 lite": 819e9, "TPU v5e": 819e9}
 
 
-def summarize(trace_dir: str, steps: int, json_out: str = ""):
+def summarize(trace_dir: str, steps: int, json_out: str = "",
+              analytic=None):
     """Per-HLO-category times + a per-op roofline attribution.
+
+    ``analytic``: optional {op-name-prefix: flops_per_call} for Pallas
+    custom-calls — XLA's cost model reports 0 FLOPs for them, which would
+    dump the (measured-fastest) fused-attention kernels into the
+    "eff<0.3" roofline bucket purely as an accounting artifact.  Longest
+    prefix wins (so ``fused_attention_bwd`` shadows ``fused_attention``).
 
     For every device op the trace carries XLA's own cost model numbers
     (``model_flops``, ``bytes_accessed``); an op's speed-of-light time is
@@ -101,7 +108,13 @@ def summarize(trace_dir: str, steps: int, json_out: str = ""):
             continue
         d = agg.setdefault(name, [cat, 0.0, 0.0, 0.0])
         d[1] += dur_s
-        d[2] += float(args.get("model_flops", 0) or 0)
+        flops = float(args.get("model_flops", 0) or 0)
+        if not flops and analytic:
+            for pref in sorted(analytic, key=len, reverse=True):
+                if name.startswith(pref):
+                    flops = analytic[pref]
+                    break
+        d[2] += flops
         d[3] += float(args.get("bytes_accessed", 0) or 0)
 
     total = sum(by_cat.values())
@@ -234,7 +247,18 @@ def main():
             for _ in range(args.steps):
                 state, m = step(state, db)
             float(m["loss"])
-    summarize(args.out, args.steps, json_out=args.json_out)
+    # Analytic per-call FLOPs for the Pallas attention custom-calls at
+    # the VISUAL flagship shape (B=128, H=12, S=193, D=64; fwd = QK^T +
+    # PV = 4BHS^2D, bwd adds score recompute + dv/dp/dq/dk = 10BHS^2D).
+    # Only the visual tower lowers through the kernels under the default
+    # per-tower modes, so one shape suffices.
+    analytic = None
+    if args.fused_attn:
+        unit = 128 * 12 * 193 * 193 * 64
+        analytic = {"fused_attention": 4 * unit,
+                    "fused_attention_bwd": 10 * unit}
+    summarize(args.out, args.steps, json_out=args.json_out,
+              analytic=analytic)
 
 
 if __name__ == "__main__":

@@ -274,12 +274,18 @@ def main():
             out[f"{variant}_qt{qt}_ms"] = round(secs * 1e3, 4)
             print(f"{variant}_qt{qt}: {secs * 1e3:.3f} ms", flush=True)
 
-    for ng in (2, 8):
-        fn = lambda q, g, n=ng: run_variant(q, g, k=args.k, n_groups=n)
+    # row subgroups: qt256 splits shrink the trip statistic but pay
+    # per-group while overheads; (512, 2) keeps 256-row groups while
+    # HALVING the mandatory re-stream (condonly qt512 ~= condonly
+    # qt256 / 2) — measured at 983k it recovers only ~0.2 ms of that
+    # saving because the groups' trips serialize inside one program.
+    for qt, ng in ((256, 2), (256, 8), (512, 2)):
+        fn = lambda q, g, t=qt, n=ng: run_variant(q, g, k=args.k, qt=t,
+                                                  n_groups=n)
         secs = _timed_loop(fn, (queries, gallery), iters=args.iters,
                            no_perturb={1})
-        out[f"rowgroup{ng}_qt256_ms"] = round(secs * 1e3, 4)
-        print(f"rowgroup{ng}_qt256: {secs * 1e3:.3f} ms", flush=True)
+        out[f"rowgroup{ng}_qt{qt}_ms"] = round(secs * 1e3, 4)
+        print(f"rowgroup{ng}_qt{qt}: {secs * 1e3:.3f} ms", flush=True)
 
     print(json.dumps(out))
     if args.out:
