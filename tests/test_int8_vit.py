@@ -189,3 +189,30 @@ class TestServingEncoder:
         with pytest.raises(NotImplementedError, match="VisionTransformer"):
             build_int8_vit_encoder(bad, state, [np.zeros((1, 64, 32, 3),
                                                          np.uint8)])
+
+    def test_retrieval_index_routes_dataflow_to_int8_vit(
+            self, model_and_state):
+        """RetrievalIndex(int8_encode=True) on a ViT tower must take the
+        int8-dataflow pend path (not the conv interceptor) and swap in the
+        int8_vit encoder during build_gallery; the built index must agree
+        with the float index on the same gallery."""
+        from textreid_tpu.serving import RetrievalIndex
+
+        model, state = model_and_state
+        rng = np.random.RandomState(13)
+        batches = [rng.randint(0, 255, (5, 32, 16, 3), dtype=np.uint8)
+                   for _ in range(2)]
+
+        idx8 = RetrievalIndex(model, state, query_batch=4,
+                              use_pallas=False, int8_encode=True)
+        assert idx8._int8_pending  # dataflow path chosen, not interceptor
+        idx8.build_gallery(batches, meta=np.arange(10))
+        assert not idx8._int8_pending
+
+        idxf = RetrievalIndex(model, state, query_batch=4,
+                              use_pallas=False)
+        idxf.build_gallery(batches, meta=np.arange(10))
+        g8 = np.asarray(idx8.gallery, np.float32)
+        gf = np.asarray(idxf.gallery, np.float32)
+        cos = (g8 * gf).sum(axis=1)  # both rows L2-normalized
+        assert cos.min() > 0.999, cos

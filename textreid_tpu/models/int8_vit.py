@@ -31,8 +31,10 @@ The graph, per transformer block (eval semantics of
   epilogue) stretches each token across the full int8 range — see
   ``_requant_rowdyn``; weights quantized per-output-channel;
 * each epilogue is one fused elementwise chain on the matmul output
-  (``int32 -> *s_w[co] [*r_row] -> +b`` and, for out_proj/c_proj, the
-  residual add) in f32, emitted as bf16 into the residual stream;
+  (``int32 -> *s_w[co] [*r_row]`` decoded in f32, then ``+b``, GELU,
+  residual adds and the requant reads at the tower dtype — on the
+  production bf16 tower the wide [B, S, 4W] FFN tensors cross HBM at
+  half the bytes);
 * attention itself (softmax(QK^T)V) stays bf16: at S<=257 it is ~4% of
   the block's FLOPs and softmax wants float anyway;
 * the patchify conv quantizes like the trunk convs (3 input channels,
@@ -79,7 +81,7 @@ def _quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-def _attention(qkv, heads: int):
+def _attention(qkv, heads: int, causal: bool = False):
     """bf16 attention on the fused-QKV layout.  On TPU this is the Pallas
     kernel in its zero-copy layout when eligible (the on-chip probe has
     the pair forward at 0.676 ms vs XLA's 1.670 at the ViT-B/16 shape);
@@ -87,14 +89,46 @@ def _attention(qkv, heads: int):
     from ..ops.attention_pallas import fused_attention, xla_attention
 
     if jax.default_backend() == "tpu":
-        return fused_attention(qkv, heads=heads, causal=False,
+        return fused_attention(qkv, heads=heads, causal=causal,
                                layout="auto")
-    return xla_attention(qkv, heads=heads, causal=False)
+    return xla_attention(qkv, heads=heads, causal=causal)
 
 
 # ---------------------------------------------------------------------------
 # Folded float graph (calibration / agreement reference)
 # ---------------------------------------------------------------------------
+
+def folded_block_float(h, bp, site_prefix: str, heads: int,
+                       causal: bool = False,
+                       record: Optional[dict] = None):
+    """One TransformerBlock (models/vit.py:44) in eval float form with the
+    LN affines folded into the consumer matmuls — shared by the ViT and
+    text-transformer calibration graphs (their blocks are the same flax
+    module, so the param layout is identical)."""
+    n1 = _norm_no_affine(h)
+    _record_amax(record, f"{site_prefix}qkv", n1)
+    g1 = jnp.asarray(bp["ln_1"]["scale"], jnp.float32)
+    b1 = jnp.asarray(bp["ln_1"]["bias"], jnp.float32)
+    wq = jnp.asarray(bp["qkv"]["kernel"], jnp.float32)
+    qkv = n1 @ (g1[:, None] * wq) + (
+        b1 @ wq + jnp.asarray(bp["qkv"]["bias"], jnp.float32))
+    attn = _attention(qkv.astype(jnp.float32), heads, causal)
+    _record_amax(record, f"{site_prefix}out_proj", attn)
+    h = h + attn @ jnp.asarray(bp["out_proj"]["kernel"], jnp.float32) \
+        + jnp.asarray(bp["out_proj"]["bias"], jnp.float32)
+
+    n2 = _norm_no_affine(h)
+    _record_amax(record, f"{site_prefix}c_fc", n2)
+    g2 = jnp.asarray(bp["ln_2"]["scale"], jnp.float32)
+    b2 = jnp.asarray(bp["ln_2"]["bias"], jnp.float32)
+    wf = jnp.asarray(bp["c_fc"]["kernel"], jnp.float32)
+    ff = n2 @ (g2[:, None] * wf) + (
+        b2 @ wf + jnp.asarray(bp["c_fc"]["bias"], jnp.float32))
+    ff = _quick_gelu(ff)
+    _record_amax(record, f"{site_prefix}c_proj", ff)
+    return h + ff @ jnp.asarray(bp["c_proj"]["kernel"], jnp.float32) \
+        + jnp.asarray(bp["c_proj"]["bias"], jnp.float32)
+
 
 def _folded_vit_float(vit: VisionTransformer, params, x,
                       record: Optional[dict] = None):
@@ -121,30 +155,8 @@ def _folded_vit_float(vit: VisionTransformer, params, x,
          + jnp.asarray(pre["bias"], jnp.float32))
 
     for i in range(vit.layers):
-        bp = params[f"block_{i}"]
-        n1 = _norm_no_affine(h)
-        _record_amax(record, f"block_{i}.qkv", n1)
-        g1 = jnp.asarray(bp["ln_1"]["scale"], jnp.float32)
-        b1 = jnp.asarray(bp["ln_1"]["bias"], jnp.float32)
-        wq = jnp.asarray(bp["qkv"]["kernel"], jnp.float32)
-        qkv = n1 @ (g1[:, None] * wq) + (
-            b1 @ wq + jnp.asarray(bp["qkv"]["bias"], jnp.float32))
-        attn = _attention(qkv.astype(jnp.float32), vit.heads)
-        _record_amax(record, f"block_{i}.out_proj", attn)
-        h = h + attn @ jnp.asarray(bp["out_proj"]["kernel"], jnp.float32) \
-            + jnp.asarray(bp["out_proj"]["bias"], jnp.float32)
-
-        n2 = _norm_no_affine(h)
-        _record_amax(record, f"block_{i}.c_fc", n2)
-        g2 = jnp.asarray(bp["ln_2"]["scale"], jnp.float32)
-        b2 = jnp.asarray(bp["ln_2"]["bias"], jnp.float32)
-        wf = jnp.asarray(bp["c_fc"]["kernel"], jnp.float32)
-        ff = n2 @ (g2[:, None] * wf) + (
-            b2 @ wf + jnp.asarray(bp["c_fc"]["bias"], jnp.float32))
-        ff = _quick_gelu(ff)
-        _record_amax(record, f"block_{i}.c_proj", ff)
-        h = h + ff @ jnp.asarray(bp["c_proj"]["kernel"], jnp.float32) \
-            + jnp.asarray(bp["c_proj"]["bias"], jnp.float32)
+        h = folded_block_float(h, params[f"block_{i}"], f"block_{i}.",
+                               vit.heads, causal=False, record=record)
 
     post = params["ln_post"]
     cls_out = (_norm_no_affine(h[:, 0])
@@ -197,6 +209,25 @@ def calibrate_vit_amax(vit, params, batches, pixel_mean, pixel_std):
     return acc
 
 
+def quantize_block(bp, site_prefix: str, scales, quantize) -> None:
+    """Quantize one TransformerBlock's four matmuls (LN affines folded
+    where a LayerNorm feeds the site) — shared by the ViT and text
+    towers."""
+    for site, dense, ln in ((f"{site_prefix}qkv", "qkv", "ln_1"),
+                            (f"{site_prefix}out_proj", "out_proj", None),
+                            (f"{site_prefix}c_fc", "c_fc", "ln_2"),
+                            (f"{site_prefix}c_proj", "c_proj", None)):
+        w = jnp.asarray(bp[dense]["kernel"], jnp.float32)
+        b = jnp.asarray(bp[dense]["bias"], jnp.float32)
+        s_in = scales[site]
+        if ln is not None:
+            g = jnp.asarray(bp[ln]["scale"], jnp.float32)
+            beta = jnp.asarray(bp[ln]["bias"], jnp.float32)
+            quantize(site, (g * s_in)[:, None] * w, beta @ w + b)
+        else:
+            quantize(site, s_in[:, None] * w, b)
+
+
 def prepare_int8_vit(vit, params, amax: Dict[str, np.ndarray]) -> Int8ViT:
     """Fold LN affines + per-input-channel activation scales into the
     kernels and quantize per-output-channel (same recipe as
@@ -219,21 +250,8 @@ def prepare_int8_vit(vit, params, amax: Dict[str, np.ndarray]) -> Int8ViT:
              jnp.zeros((kernel.shape[-1],), jnp.float32))
 
     for i in range(vit.layers):
-        bp = params[f"block_{i}"]
-        pre = f"block_{i}."
-        for site, dense, ln in ((f"{pre}qkv", "qkv", "ln_1"),
-                                (f"{pre}out_proj", "out_proj", None),
-                                (f"{pre}c_fc", "c_fc", "ln_2"),
-                                (f"{pre}c_proj", "c_proj", None)):
-            w = jnp.asarray(bp[dense]["kernel"], jnp.float32)
-            b = jnp.asarray(bp[dense]["bias"], jnp.float32)
-            s_in = scales[site]
-            if ln is not None:
-                g = jnp.asarray(bp[ln]["scale"], jnp.float32)
-                beta = jnp.asarray(bp[ln]["bias"], jnp.float32)
-                quantize(site, (g * s_in)[:, None] * w, beta @ w + b)
-            else:
-                quantize(site, s_in[:, None] * w, b)
+        quantize_block(params[f"block_{i}"], f"block_{i}.", scales,
+                       quantize)
 
     consts = {
         "cls": jnp.asarray(params["class_embedding"], jnp.float32),
@@ -277,15 +295,47 @@ def _requant_rowdyn(x, s_ci):
     return q, r
 
 
-def _int8_matmul(tower: Int8ViT, site: str, xq, row_scale=None):
-    """int8 x int8 -> int32 -> f32 epilogue (``*s_w [*r_row] + b``)."""
+def _int8_matmul(tower: Int8ViT, site: str, xq, row_scale=None,
+                 out_dtype=jnp.float32):
+    """int8 x int8 -> int32 -> epilogue (``*s_w [*r_row] + b``).
+
+    The int32 -> scale decode runs in f32 (an int32 accumulator cast
+    straight to bf16 would lose 0.4% relative — the size of the int8
+    error itself); the result is emitted at ``out_dtype`` BEFORE the bias
+    add and the downstream GELU/requant chain, so on the production bf16
+    tower the wide [B, S, 4W] FFN tensors cross HBM at half the bytes.
+    Tests run the whole graph in f32 (vit.dtype), where this is a
+    no-op."""
     u = tower.units[site]
     y = lax.dot_general(xq, u["w_q"], (((xq.ndim - 1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32)
     y = y.astype(jnp.float32) * u["s_w"]
     if row_scale is not None:
         y = y * row_scale
-    return y + u["b"]
+    return y.astype(out_dtype) + u["b"].astype(out_dtype)
+
+
+def int8_block_apply(h, tower, site_prefix: str, heads: int, fdt,
+                     causal: bool = False):
+    """One TransformerBlock in int8-dataflow form (shared by the ViT and
+    text towers; the residual stream ``h`` stays at the tower dtype)."""
+    q8, rq = _requant_rowdyn(_norm_no_affine(h),
+                             tower.scales[f"{site_prefix}qkv"])
+    qkv = _int8_matmul(tower, f"{site_prefix}qkv", q8, rq, fdt)
+    attn = _attention(qkv, heads, causal)
+    a8, ra = _requant_rowdyn(attn,
+                             tower.scales[f"{site_prefix}out_proj"])
+    h = h + _int8_matmul(tower, f"{site_prefix}out_proj", a8, ra, fdt)
+
+    f8, rf = _requant_rowdyn(_norm_no_affine(h),
+                             tower.scales[f"{site_prefix}c_fc"])
+    # the [B, S, 4W] GELU tensor lives at the tower dtype: its
+    # materialization + the requant row-max/round passes over it are
+    # the widest VPU traffic in the graph
+    ff = _quick_gelu(_int8_matmul(tower, f"{site_prefix}c_fc", f8, rf,
+                                  fdt))
+    g8, rg = _requant_rowdyn(ff, tower.scales[f"{site_prefix}c_proj"])
+    return h + _int8_matmul(tower, f"{site_prefix}c_proj", g8, rg, fdt)
 
 
 def int8_vit_apply(vit: VisionTransformer, tower: Int8ViT, x) -> jax.Array:
@@ -321,20 +371,7 @@ def int8_vit_apply(vit: VisionTransformer, tower: Int8ViT, x) -> jax.Array:
          + tower.consts["ln_pre_bias"]).astype(fdt)
 
     for i in range(vit.layers):
-        pre = f"block_{i}."
-        q8, rq = _requant_rowdyn(_norm_no_affine(h),
-                                 tower.scales[f"{pre}qkv"])
-        qkv = _int8_matmul(tower, f"{pre}qkv", q8, rq).astype(fdt)
-        attn = _attention(qkv, vit.heads)
-        a8, ra = _requant_rowdyn(attn.astype(jnp.float32),
-                                 tower.scales[f"{pre}out_proj"])
-        h = h + _int8_matmul(tower, f"{pre}out_proj", a8, ra).astype(fdt)
-
-        f8, rf = _requant_rowdyn(_norm_no_affine(h),
-                                 tower.scales[f"{pre}c_fc"])
-        ff = _quick_gelu(_int8_matmul(tower, f"{pre}c_fc", f8, rf))
-        g8, rg = _requant_rowdyn(ff, tower.scales[f"{pre}c_proj"])
-        h = h + _int8_matmul(tower, f"{pre}c_proj", g8, rg).astype(fdt)
+        h = int8_block_apply(h, tower, f"block_{i}.", vit.heads, fdt)
 
     cls_out = (_norm_no_affine(h[:, 0]) * tower.consts["ln_post_scale"]
                + tower.consts["ln_post_bias"])

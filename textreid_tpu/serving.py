@@ -94,18 +94,22 @@ class RetrievalIndex:
 
         _encode_texts = jax.jit(_text_embed)
 
-        # int8 encode modes: "dataflow" (default for True; m_resnet towers)
-        # runs the true int8-dataflow graph (models/int8_tower.py, int8
-        # activations between convs, calibrated on the first gallery
-        # batches); "intercept" uses the per-conv interceptor
-        # (models/quant_tower.py) — the fallback for other towers.
+        # int8 encode modes: "dataflow" (default for True) runs the true
+        # int8-dataflow graph — models/int8_tower.py for m_resnet towers
+        # (int8 activations between convs), models/int8_vit.py for ViT
+        # towers (int8 block matmuls, two-level requant) — calibrated on
+        # the first gallery batches; "intercept" uses the per-conv
+        # interceptor (models/quant_tower.py) — the fallback for towers
+        # with no dataflow graph (plain torchvision resnets).
         self._int8_pending = False
         if int8_encode:
             from .models.m_resnet import ModifiedResNet
+            from .models.vit import VisionTransformer
 
             mode = ("dataflow" if int8_encode is True else int8_encode)
             if (mode == "dataflow"
-                    and isinstance(self.model.visual, ModifiedResNet)):
+                    and isinstance(self.model.visual,
+                                   (ModifiedResNet, VisionTransformer))):
                 self._int8_pending = True  # calibrate in build_gallery
             else:
                 from .models.quant_tower import int8_image_encoder
@@ -232,9 +236,17 @@ class RetrievalIndex:
         calib = list(itertools.islice(batches, 4))
         if not calib:
             raise ValueError("build_gallery needs at least one batch")
-        from .models.int8_tower import build_int8_encoder
+        from .models.vit import VisionTransformer
 
-        encode, tower = build_int8_encoder(self.model, self.state, calib)
+        if isinstance(self.model.visual, VisionTransformer):
+            from .models.int8_vit import build_int8_vit_encoder
+
+            encode, tower = build_int8_vit_encoder(self.model, self.state,
+                                                   calib)
+        else:
+            from .models.int8_tower import build_int8_encoder
+
+            encode, tower = build_int8_encoder(self.model, self.state, calib)
         self._encode_images = (
             lambda state, pixels, erase: encode(state, tower, pixels, erase)
         )

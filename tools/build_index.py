@@ -40,8 +40,10 @@ def main():
     parser.add_argument("--quantize", action="store_true",
                         help="also store the int8 per-row-scale form")
     parser.add_argument("--int8-encode", action="store_true",
-                        help="encode the gallery with the int8-conv visual "
-                        "tower (models/quant_tower.py, ~1.16x)")
+                        help="encode the gallery with the int8-dataflow "
+                        "visual tower (models/int8_tower.py for m_resnet, "
+                        "~1.3x; models/int8_vit.py for ViT, ~1.55x; "
+                        "interceptor fallback otherwise)")
     parser.add_argument("--dataset", default="",
                         help="catalog name; default: first DATASETS.TEST")
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
