@@ -710,6 +710,43 @@ def bench_stages():
               (tvars, ids, lens), iters=50,
               extra_flops=12 * 4 * BATCH * 8 * TOKENS * TOKENS * 64)
 
+        # TRUE int8-dataflow text transformer (models/int8_text.py): the
+        # serving query-encode path — every block matmul int8, Pallas
+        # causal attention in bf16, calibrated on the benched token
+        # distribution.
+        from textreid_tpu.models.int8_text import (
+            calibrate_text_amax,
+            int8_text_apply,
+            prepare_int8_text,
+        )
+
+        amax_t = calibrate_text_amax(txf, tvars["params"], [(ids, lens)])
+        tower_t = jax.device_put(prepare_int8_text(txf, tvars["params"],
+                                                   amax_t))
+        jax.block_until_ready(tower_t)
+        stage("text_transformer_fwd_int8_dataflow",
+              lambda t, i, l: int8_text_apply(txf, t, i, l),
+              (tower_t, ids, lens), iters=50,
+              extra_flops=12 * 4 * BATCH * 8 * TOKENS * TOKENS * 64)
+        at = np.asarray(jax.jit(txf.apply)(tvars, ids, lens), np.float32)
+        dt = np.asarray(jax.jit(
+            lambda t, i, l: int8_text_apply(txf, t, i, l))(
+                tower_t, ids, lens), np.float32)
+        cos_t = (at * dt).sum(1) / (np.linalg.norm(at, axis=1)
+                                    * np.linalg.norm(dt, axis=1) + 1e-12)
+        report["text_int8_dataflow_min_cosine"] = float(cos_t.min())
+        report["text_int8_dataflow_speedup_vs_bf16"] = round(
+            report["text_transformer_fwd_ms"]
+            / report["text_transformer_fwd_int8_dataflow_ms"], 3)
+        report["text_int8_dataflow_speedup_vs_bf16_fused"] = round(
+            report["text_transformer_fwd_fused_attn_ms"]
+            / report["text_transformer_fwd_int8_dataflow_ms"], 3)
+        log(f"text int8 dataflow: "
+            f"{report['text_transformer_fwd_int8_dataflow_ms']:.2f} ms vs "
+            f"bf16 {report['text_transformer_fwd_ms']:.2f} ms "
+            f"({report['text_int8_dataflow_speedup_vs_bf16']}x), "
+            f"min cosine {cos_t.min():.5f}")
+
     # loss block at flagship shapes
     v = jnp.asarray(rng.rand(BATCH, 256).astype(np.float32))
     t = jnp.asarray(rng.rand(BATCH, 256).astype(np.float32))

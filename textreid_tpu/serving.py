@@ -79,10 +79,15 @@ class RetrievalIndex:
                               method="embed_image")
             return l2_normalize(emb.astype(jnp.float32), axis=1)
 
-        # One definition of the text-tower forward; jitted standalone here
-        # and inlined un-jitted into the fused single-dispatch programs
-        # below.
-        def _text_embed(state, token_ids, lengths):
+        # One definition of the text-tower forward; jitted standalone and
+        # inlined un-jitted into the fused single-dispatch programs (see
+        # _build_query_programs).  ``tower`` is the int8 text tower slot —
+        # unused (None) on the float path; enable_int8_text swaps in an
+        # embed that consumes it.  It rides every program as a jit
+        # ARGUMENT, never a closure: the prepared tower holds the ~50 MB
+        # token table and the axon compile relay rejects large constants.
+        def _text_embed_float(state, tower, token_ids, lengths):
+            del tower
             feat = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats,
                  "constants": state.constants},
@@ -91,8 +96,6 @@ class RetrievalIndex:
             emb = model.apply({"params": state.params}, feat,
                               method="embed_text")
             return l2_normalize(emb.astype(jnp.float32), axis=1)
-
-        _encode_texts = jax.jit(_text_embed)
 
         # int8 encode modes: "dataflow" (default for True) runs the true
         # int8-dataflow graph — models/int8_tower.py for m_resnet towers
@@ -116,51 +119,12 @@ class RetrievalIndex:
 
                 _encode_images = int8_image_encoder(self.model, state)
         self._encode_images = _encode_images
-        self._encode_texts = _encode_texts
+        self._build_query_programs(_text_embed_float, tower=None)
+        self._text_embed_float = _text_embed_float
 
-        # Fused single-dispatch query path (single-device): text encode +
-        # L2-norm + ranking as ONE jitted program.  The two-phase path
-        # costs >= 2 device dispatches plus a D2H/H2D round-trip of the
-        # query embeddings between them; through a remote-dispatch relay
-        # (or any RPC-fronted accelerator) dispatches dominate serving
-        # latency (bench.py --server, round 3: ~25 ms each).  Shapes stay
-        # canonical (k and the query bucket are static), so steady-state
-        # traffic compiles at most once per (bucket, k) pair.
         interpret = self._interpret
         use_pallas = self.use_pallas
-
-        # The streaming kernel's one-at-a-time insertion merge is built
-        # for small k (its trip count scales with insertions); past this
-        # bound the materializing sort path wins and the score matrix at
-        # the 256-query bucket is modest (G rows x 1 KB).  k is a static
-        # compile parameter, so the route costs nothing at runtime.
-        PALLAS_K_MAX = 64
-
-        @functools.partial(jax.jit, static_argnames=("k",))
-        def _fused_float(state, gallery, token_ids, lengths, k):
-            q = _text_embed(state, token_ids, lengths)
-            if use_pallas and k <= PALLAS_K_MAX:
-                from .ops.ranking_pallas import topk_similarity_padded
-
-                return topk_similarity_padded(q, gallery, k=k,
-                                              interpret=interpret)
-            sim = q @ gallery.T
-            return jax.lax.top_k(sim, min(k, int(gallery.shape[0])))
-
-        @functools.partial(jax.jit, static_argnames=("k",))
-        def _fused_quant(state, values, scales, token_ids, lengths, k):
-            from .ops.quant import QuantizedGallery, quantized_topk
-
-            q = _text_embed(state, token_ids, lengths)
-            gal = QuantizedGallery(values, scales)
-            if use_pallas and k <= PALLAS_K_MAX:
-                from .ops.ranking_pallas import (
-                    topk_similarity_quantized_padded,
-                )
-
-                return topk_similarity_quantized_padded(
-                    q, gal, k=k, interpret=interpret)
-            return quantized_topk(q, gal, min(k, int(values.shape[0])))
+        PALLAS_K_MAX = self._PALLAS_K_MAX
 
         # Rank-only programs for queries that are ALREADY embeddings
         # (image queries, precomputed vectors).  Not fused with an encoder:
@@ -191,10 +155,100 @@ class RetrievalIndex:
                     queries, gal, k=k, interpret=interpret)
             return quantized_topk(queries, gal, min(k, int(values.shape[0])))
 
-        self._fused_float = _fused_float
-        self._fused_quant = _fused_quant
         self._rank_float = _rank_float
         self._rank_quant = _rank_quant
+
+    # The streaming kernel's one-at-a-time insertion merge is built for
+    # small k (its trip count scales with insertions); past this bound the
+    # materializing sort path wins and the score matrix at the 256-query
+    # bucket is modest (G rows x 1 KB).  k is a static compile parameter,
+    # so the route costs nothing at runtime.
+    _PALLAS_K_MAX = 64
+
+    def _build_query_programs(self, text_embed, tower) -> None:
+        """Compile the fused single-dispatch query path (single-device):
+        text encode + L2-norm + ranking as ONE jitted program.  The
+        two-phase path costs >= 2 device dispatches plus a D2H/H2D
+        round-trip of the query embeddings between them; through a
+        remote-dispatch relay (or any RPC-fronted accelerator) dispatches
+        dominate serving latency (bench.py --server, round 3: ~25 ms
+        each).  Shapes stay canonical (k and the query bucket are
+        static), so steady-state traffic compiles at most once per
+        (bucket, k) pair.
+
+        ``text_embed(state, tower, token_ids, lengths)`` is the query
+        embed; ``tower`` is its pytree argument (None for the float
+        tower, the prepared Int8Text after enable_int8_text).  Built
+        fresh per embed swap — the jits cache on function identity, so
+        mutating a shared closure would serve stale programs."""
+        use_pallas = self.use_pallas
+        interpret = self._interpret
+        PALLAS_K_MAX = self._PALLAS_K_MAX
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def _fused_float(state, tower, gallery, token_ids, lengths, k):
+            q = text_embed(state, tower, token_ids, lengths)
+            if use_pallas and k <= PALLAS_K_MAX:
+                from .ops.ranking_pallas import topk_similarity_padded
+
+                return topk_similarity_padded(q, gallery, k=k,
+                                              interpret=interpret)
+            sim = q @ gallery.T
+            return jax.lax.top_k(sim, min(k, int(gallery.shape[0])))
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def _fused_quant(state, tower, values, scales, token_ids,
+                         lengths, k):
+            from .ops.quant import QuantizedGallery, quantized_topk
+
+            q = text_embed(state, tower, token_ids, lengths)
+            gal = QuantizedGallery(values, scales)
+            if use_pallas and k <= PALLAS_K_MAX:
+                from .ops.ranking_pallas import (
+                    topk_similarity_quantized_padded,
+                )
+
+                return topk_similarity_quantized_padded(
+                    q, gal, k=k, interpret=interpret)
+            return quantized_topk(q, gal, min(k, int(values.shape[0])))
+
+        self._text_tower = tower
+        self._fused_float = _fused_float
+        self._fused_quant = _fused_quant
+        self._encode_texts = jax.jit(text_embed)
+
+    def enable_int8_text(self, calib_batches) -> None:
+        """Swap the query text encoder to the int8-dataflow text
+        transformer (models/int8_text.py), calibrated on
+        ``calib_batches``: an iterable of ``(token_ids [B, T] int32,
+        lengths [B] int32)`` with the serving query distribution (e.g.
+        dataset captions).  Rebuilds the fused search programs around the
+        int8 graph; the textual tower must be a TextTransformer (raises
+        NotImplementedError for the bi-GRU)."""
+        from .models.int8_text import (
+            calibrate_text_amax,
+            int8_text_apply,
+            prepare_int8_text,
+        )
+        from .models.text_transformer import TextTransformer
+
+        textual = self.model.textual
+        if not isinstance(textual, TextTransformer):
+            raise NotImplementedError(
+                f"int8 text encode needs a TextTransformer tower; got "
+                f"{type(textual).__name__}")
+        model = self.model
+        tparams = self.state.params["textual"]
+        amax = calibrate_text_amax(textual, tparams, calib_batches)
+        tower = prepare_int8_text(textual, tparams, amax)
+
+        def _text_embed_int8(state, tower, token_ids, lengths):
+            feat = int8_text_apply(textual, tower, token_ids, lengths)
+            emb = model.apply({"params": state.params}, feat,
+                              method="embed_text")
+            return l2_normalize(emb.astype(jnp.float32), axis=1)
+
+        self._build_query_programs(_text_embed_int8, tower=tower)
 
     # -- gallery ----------------------------------------------------------
     def build_gallery(self, batches, meta=None, valid_rows=None) -> None:
@@ -390,7 +444,8 @@ class RetrievalIndex:
                                                     ids.dtype)])
                 lens = np.concatenate([lens, np.ones(pad, lens.dtype)])
             emb = self._encode_texts(
-                self.state, jnp.asarray(ids), jnp.asarray(lens)
+                self.state, self._text_tower, jnp.asarray(ids),
+                jnp.asarray(lens)
             )
             out.append(np.asarray(emb))  # full fixed-shape chunk
         return np.concatenate(out, axis=0)[:n]
@@ -448,13 +503,14 @@ class RetrievalIndex:
                     [lens, np.ones(q_pad - n_q, lens.dtype)])
             if self.quantize:
                 vals, idx = self._fused_quant(
-                    self.state, self._quant_gallery.values,
+                    self.state, self._text_tower,
+                    self._quant_gallery.values,
                     self._quant_gallery.scales, jnp.asarray(ids),
                     jnp.asarray(lens), k)
             else:
                 vals, idx = self._fused_float(
-                    self.state, self.gallery, jnp.asarray(ids),
-                    jnp.asarray(lens), k)
+                    self.state, self._text_tower, self.gallery,
+                    jnp.asarray(ids), jnp.asarray(lens), k)
         else:
             vals, idx = self._rank_embedded(
                 self.encode_queries(token_ids, lengths), k)

@@ -44,6 +44,14 @@ def main():
                         "visual tower (models/int8_tower.py for m_resnet, "
                         "~1.3x; models/int8_vit.py for ViT, ~1.55x; "
                         "interceptor fallback otherwise)")
+    parser.add_argument("--text-calib-out", default="",
+                        help="also write an npz of dataset captions "
+                        "(token_ids, lengths) for serving-side int8 text "
+                        "calibration (tools/serve.py --int8-text-calib); "
+                        "replicas boot dataset-free, so the calibration "
+                        "sample ships next to the index")
+    parser.add_argument("--text-calib-rows", type=int, default=2048,
+                        help="caption rows to sample into --text-calib-out")
     parser.add_argument("--dataset", default="",
                         help="catalog name; default: first DATASETS.TEST")
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
@@ -77,11 +85,16 @@ def main():
     # evaluation.py:113-115) — meta carries the image ids
     seen = set()
     batches, metas, cur_px, cur_ids = [], [], [], []
+    calib_ids, calib_lens = [], []
     batch_size = cfg.TEST.IMS_PER_BATCH
     for item_batch in loader:
         valid = item_batch.get("valid")
         n = int(valid.sum()) if valid is not None else len(
             item_batch["image_ids"])
+        if args.text_calib_out and sum(
+                len(c) for c in calib_ids) < args.text_calib_rows:
+            calib_ids.append(np.asarray(item_batch["token_ids"][:n]))
+            calib_lens.append(np.asarray(item_batch["lengths"][:n]))
         for i in range(n):
             img_id = int(item_batch["image_ids"][i])
             if img_id in seen:
@@ -109,6 +122,16 @@ def main():
     logger.info("Wrote %s: %d rows x %d dims%s", args.output,
                 index.gallery.shape[0], index.gallery.shape[1],
                 " (+int8)" if args.quantize else "")
+    if args.text_calib_out:
+        ids = np.concatenate(calib_ids)[: args.text_calib_rows]
+        lens = np.concatenate(calib_lens)[: args.text_calib_rows]
+        tmp = args.text_calib_out + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, token_ids=ids.astype(np.int32),
+                     lengths=lens.astype(np.int32))
+        os.replace(tmp, args.text_calib_out)
+        logger.info("Wrote %s: %d caption rows for int8 text calibration",
+                    args.text_calib_out, len(ids))
 
 
 if __name__ == "__main__":

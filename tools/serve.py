@@ -51,6 +51,11 @@ def main():
     parser.add_argument("--quantize", action="store_true",
                         help="serve int8 scoring (index must carry it or "
                         "it is re-quantized at load)")
+    parser.add_argument("--int8-text-calib", default="",
+                        help="caption npz (token_ids, lengths) from "
+                        "tools/build_index.py --text-calib-out; enables the "
+                        "int8-dataflow text transformer for query encode "
+                        "(TextTransformer towers only)")
     parser.add_argument("--reload-dir", default="",
                         help="enable POST /reload_index for index files "
                         "inside this directory (disabled when empty)")
@@ -91,6 +96,26 @@ def main():
     index.load_index(args.index_file)
     logger.info("Index: %d rows x %d dims", index.gallery.shape[0],
                 index.gallery.shape[1])
+
+    if args.int8_text_calib:
+        import numpy as _np
+
+        calib = _np.load(args.int8_text_calib)
+        ids, lens = calib["token_ids"], calib["lengths"]
+        # fixed-shape calibration chunks: pad the caption length to the
+        # service's query length so calibration sees the serving shapes
+        max_len = cfg.INPUT.MAX_TEXT_LENGTH
+        if ids.shape[1] < max_len:
+            ids = _np.pad(ids, ((0, 0), (0, max_len - ids.shape[1])))
+        ids = ids[:, :max_len]
+        lens = _np.minimum(lens, max_len)
+        bs = args.query_batch
+        n_full = (len(ids) // bs) * bs or len(ids)
+        chunks = [(ids[s:s + bs], lens[s:s + bs])
+                  for s in range(0, n_full, bs)]
+        index.enable_int8_text(chunks)
+        logger.info("int8 text encode enabled (%d calibration captions)",
+                    n_full)
 
     tokenizer = (SimpleTokenizer.from_file(args.vocab_file)
                  if args.vocab_file else None)
