@@ -211,6 +211,32 @@ class TestServingEncoder:
         np.testing.assert_array_equal(meta_8, meta_f)
         np.testing.assert_allclose(vals_8, vals_f, atol=0.02)
 
+    def test_int8_text_composes_with_quantized_gallery(self,
+                                                       model_and_state):
+        """int8 text encode + int8 gallery scoring: the _fused_quant
+        program must accept the tower argument and agree with the float
+        pipeline's ranking."""
+        from textreid_tpu.serving import RetrievalIndex
+
+        model, state = model_and_state
+        rng = np.random.RandomState(51)
+        batches = [rng.randint(0, 255, (5, 32, 16, 3), dtype=np.uint8)
+                   for _ in range(2)]
+
+        idxf = RetrievalIndex(model, state, query_batch=4,
+                              use_pallas=False)
+        idxf.build_gallery(batches, meta=np.arange(10))
+        idx = RetrievalIndex(model, state, query_batch=4, use_pallas=False,
+                             quantize=True)
+        idx.build_gallery(batches, meta=np.arange(10))
+        idx.enable_int8_text([_tokens(8, seed=52)])
+        ids, lens = _tokens(3, seed=53)
+        vals_f, meta_f = idxf.search(np.asarray(ids), np.asarray(lens),
+                                     k=5)
+        vals_8, meta_8 = idx.search(np.asarray(ids), np.asarray(lens), k=5)
+        np.testing.assert_array_equal(meta_8, meta_f)
+        np.testing.assert_allclose(vals_8, vals_f, atol=0.03)
+
     def test_enable_int8_text_rejects_gru(self, model_and_state):
         from textreid_tpu.serving import RetrievalIndex
 

@@ -145,7 +145,7 @@ def prepare_int8_text(tt: TextTransformer, params,
 
 
 def int8_text_apply(tt: TextTransformer, tower: Int8Text, token_ids,
-                    lengths) -> jax.Array:
+                    lengths, fused_ffn=None) -> jax.Array:
     """token_ids [B, T] int32, lengths [B] int32 -> [B, output_dim].
     Every block matmul consumes int8; the residual stream and the causal
     attention stay at the module's float dtype."""
@@ -156,7 +156,7 @@ def int8_text_apply(tt: TextTransformer, tower: Int8Text, token_ids,
 
     for i in range(tt.layers):
         x = int8_block_apply(x, tower, f"block_{i}.", tt.heads, fdt,
-                             causal=True)
+                             causal=True, fused_ffn=fused_ffn)
 
     x = (_norm_no_affine(x) * tower.consts["ln_final_scale"]
          + tower.consts["ln_final_bias"])

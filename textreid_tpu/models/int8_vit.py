@@ -48,6 +48,7 @@ eval forward — recording per-channel abs-max at every matmul input.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, NamedTuple, Optional
 
 import jax
@@ -315,30 +316,85 @@ def _int8_matmul(tower: Int8ViT, site: str, xq, row_scale=None,
     return y.astype(out_dtype) + u["b"].astype(out_dtype)
 
 
+def _prequant(x, s_ci, op: str):
+    """(LN | GELU | identity) + two-level requant.
+
+    Default is the plain XLA composition — a MEASURED negative result
+    for the Pallas one-pass kernel (`ops/quant_pallas.py`).  The kernel
+    wins the isolated-op probe at LN sites (0.112 vs 0.312 ms at the
+    ViT-B/16 qkv shape) but LOSES at encode level: ViT-B/16 bs128
+    32.4 ms with the kernel at the LN sites only, 56.8 ms with it at
+    every site, vs 29.0 ms pure-XLA (BENCH_STAGES methodology,
+    same chip, same run family).  XLA recomputes the cheap
+    normalize into both the row-max reduction and the quantize
+    fusions, so the composed form pays one extra HBM *read* of the
+    activation — not the full extra pass the probe's standalone
+    composition paid — and the custom-call boundary (layout pins,
+    lost epilogue fusion with the surrounding int8 matmuls) costs
+    more than that read saves.  ``TEXTREID_FUSED_REQUANT=1``
+    re-enables the kernel at LN sites for re-probing."""
+    if op == "ln":
+        if (os.environ.get("TEXTREID_FUSED_REQUANT") == "1"
+                and jax.default_backend() == "tpu"):
+            from ..ops.quant_pallas import fused_requant, requant_eligible
+
+            if requant_eligible(x):
+                return fused_requant(x, s_ci, op="ln")
+        x = _norm_no_affine(x)
+    elif op == "gelu":
+        x = _quick_gelu(x)  # at the tower dtype, like XLA's epilogue fuse
+    return _requant_rowdyn(x.astype(jnp.float32), s_ci)
+
+
+def _fused_ffn_wanted(tower, site_prefix: str, override=None) -> bool:
+    """Gate for the fused int8-FFN Pallas kernel
+    (`ops/int8_mm_pallas.py`): TPU backend, eligible shapes (lane-aligned
+    dims, weights resident in VMEM), and the mode.  ``override``: None
+    resolves ``TEXTREID_FUSED_INT8_FFN`` ("on"/"off"); a bool forces the
+    caller's choice (the A/B driver).  Default "off" until the
+    encode-level A/B proves it — the quant_pallas lesson."""
+    if override is None:
+        override = os.environ.get("TEXTREID_FUSED_INT8_FFN", "off") == "on"
+    if not override or jax.default_backend() != "tpu":
+        return False
+    from ..ops.int8_mm_pallas import ffn_eligible
+
+    w1 = tower.units[f"{site_prefix}c_fc"]["w_q"]
+    w2 = tower.units[f"{site_prefix}c_proj"]["w_q"]
+    return ffn_eligible(w1.shape[0], w1.shape[1], w2.shape[1])
+
+
 def int8_block_apply(h, tower, site_prefix: str, heads: int, fdt,
-                     causal: bool = False):
+                     causal: bool = False, fused_ffn=None):
     """One TransformerBlock in int8-dataflow form (shared by the ViT and
     text towers; the residual stream ``h`` stays at the tower dtype)."""
-    q8, rq = _requant_rowdyn(_norm_no_affine(h),
-                             tower.scales[f"{site_prefix}qkv"])
+    q8, rq = _prequant(h, tower.scales[f"{site_prefix}qkv"], "ln")
     qkv = _int8_matmul(tower, f"{site_prefix}qkv", q8, rq, fdt)
     attn = _attention(qkv, heads, causal)
-    a8, ra = _requant_rowdyn(attn,
-                             tower.scales[f"{site_prefix}out_proj"])
+    a8, ra = _prequant(attn, tower.scales[f"{site_prefix}out_proj"],
+                       "none")
     h = h + _int8_matmul(tower, f"{site_prefix}out_proj", a8, ra, fdt)
 
-    f8, rf = _requant_rowdyn(_norm_no_affine(h),
-                             tower.scales[f"{site_prefix}c_fc"])
+    f8, rf = _prequant(h, tower.scales[f"{site_prefix}c_fc"], "ln")
+    if _fused_ffn_wanted(tower, site_prefix, fused_ffn):
+        from ..ops.int8_mm_pallas import fused_int8_ffn
+
+        u1 = tower.units[f"{site_prefix}c_fc"]
+        u2 = tower.units[f"{site_prefix}c_proj"]
+        return h + fused_int8_ffn(
+            f8, u1["w_q"], u1["s_w"], u1["b"], rf,
+            tower.scales[f"{site_prefix}c_proj"],
+            u2["w_q"], u2["s_w"], u2["b"], out_dtype=fdt)
     # the [B, S, 4W] GELU tensor lives at the tower dtype: its
     # materialization + the requant row-max/round passes over it are
     # the widest VPU traffic in the graph
-    ff = _quick_gelu(_int8_matmul(tower, f"{site_prefix}c_fc", f8, rf,
-                                  fdt))
-    g8, rg = _requant_rowdyn(ff, tower.scales[f"{site_prefix}c_proj"])
+    ff = _int8_matmul(tower, f"{site_prefix}c_fc", f8, rf, fdt)
+    g8, rg = _prequant(ff, tower.scales[f"{site_prefix}c_proj"], "gelu")
     return h + _int8_matmul(tower, f"{site_prefix}c_proj", g8, rg, fdt)
 
 
-def int8_vit_apply(vit: VisionTransformer, tower: Int8ViT, x) -> jax.Array:
+def int8_vit_apply(vit: VisionTransformer, tower: Int8ViT, x,
+                   fused_ffn=None) -> jax.Array:
     """Normalized float pixels [B,H,W,3] -> [B, output_dim] embeddings.
     Every block matmul consumes int8; the residual stream and attention
     stay in the module's float dtype (bf16 in production — the same
@@ -371,7 +427,8 @@ def int8_vit_apply(vit: VisionTransformer, tower: Int8ViT, x) -> jax.Array:
          + tower.consts["ln_pre_bias"]).astype(fdt)
 
     for i in range(vit.layers):
-        h = int8_block_apply(h, tower, f"block_{i}.", vit.heads, fdt)
+        h = int8_block_apply(h, tower, f"block_{i}.", vit.heads, fdt,
+                             fused_ffn=fused_ffn)
 
     cls_out = (_norm_no_affine(h[:, 0]) * tower.consts["ln_post_scale"]
                + tower.consts["ln_post_bias"])
