@@ -119,3 +119,39 @@ def test_eligibility():
         fused_int8_matmul_requant(
             *(jnp.asarray(a) for a in _site(8, 128, 128)[:1]),
             *_site(8, 128, 128)[1:], op="ln", interpret=True)
+
+
+def test_fused_ffn_gate_per_tower_defaults(monkeypatch):
+    """The gate resolves env > caller default, per tower: text ON / ViT
+    OFF are the measured defaults (_fused_ffn_wanted docstring), and
+    TEXTREID_FUSED_INT8_FFN=on/off forces both."""
+    from types import SimpleNamespace
+
+    from textreid_tpu.models import int8_vit as iv
+
+    wq = np.zeros((512, 2048), np.int8)
+    tower = SimpleNamespace(units={
+        "b.c_fc": {"w_q": wq},
+        "b.c_proj": {"w_q": np.zeros((2048, 512), np.int8)},
+    })
+    monkeypatch.setattr(iv.jax, "default_backend", lambda: "tpu")
+
+    monkeypatch.delenv("TEXTREID_FUSED_INT8_FFN", raising=False)
+    assert iv._fused_ffn_wanted(tower, "b.", None, default=True)
+    assert not iv._fused_ffn_wanted(tower, "b.", None, default=False)
+
+    monkeypatch.setenv("TEXTREID_FUSED_INT8_FFN", "on")
+    assert iv._fused_ffn_wanted(tower, "b.", None, default=False)
+    monkeypatch.setenv("TEXTREID_FUSED_INT8_FFN", "off")
+    assert not iv._fused_ffn_wanted(tower, "b.", None, default=True)
+
+    # an explicit bool (the A/B driver) beats both env and default
+    monkeypatch.setenv("TEXTREID_FUSED_INT8_FFN", "on")
+    assert not iv._fused_ffn_wanted(tower, "b.", False, default=True)
+
+    # ineligible shapes refuse regardless of the mode
+    tiny = SimpleNamespace(units={
+        "b.c_fc": {"w_q": np.zeros((32, 128), np.int8)},
+        "b.c_proj": {"w_q": np.zeros((128, 32), np.int8)},
+    })
+    assert not iv._fused_ffn_wanted(tiny, "b.", True)

@@ -155,8 +155,12 @@ def int8_text_apply(tt: TextTransformer, tower: Int8Text, token_ids,
     x = x + tower.consts["pos"][None, :seq].astype(fdt)
 
     for i in range(tt.layers):
+        # fused_ffn_default=True: the fused int8-FFN kernel is the
+        # measured winner on this tower (see _fused_ffn_wanted's A/B
+        # numbers); the ViT tower keeps the XLA path.
         x = int8_block_apply(x, tower, f"block_{i}.", tt.heads, fdt,
-                             causal=True, fused_ffn=fused_ffn)
+                             causal=True, fused_ffn=fused_ffn,
+                             fused_ffn_default=True)
 
     x = (_norm_no_affine(x) * tower.consts["ln_final_scale"]
          + tower.consts["ln_final_bias"])

@@ -346,15 +346,25 @@ def _prequant(x, s_ci, op: str):
     return _requant_rowdyn(x.astype(jnp.float32), s_ci)
 
 
-def _fused_ffn_wanted(tower, site_prefix: str, override=None) -> bool:
+def _fused_ffn_wanted(tower, site_prefix: str, override=None,
+                      default: bool = False) -> bool:
     """Gate for the fused int8-FFN Pallas kernel
     (`ops/int8_mm_pallas.py`): TPU backend, eligible shapes (lane-aligned
     dims, weights resident in VMEM), and the mode.  ``override``: None
-    resolves ``TEXTREID_FUSED_INT8_FFN`` ("on"/"off"); a bool forces the
-    caller's choice (the A/B driver).  Default "off" until the
-    encode-level A/B proves it — the quant_pallas lesson."""
+    resolves ``TEXTREID_FUSED_INT8_FFN`` ("on"/"off", forcing both
+    towers) and falls back to the caller's measured per-tower
+    ``default``; a bool forces the caller's choice (the A/B driver).
+
+    Measured defaults (tools/int8_ffn_ab.py, two on-chip runs each, v5e):
+    text tower ON — bs128xT105 encode 8.61->8.08 / 8.66->8.28 ms (~4-6%;
+    at S=105 the [B*S, 2048] GELU slab's requant round-trip is a larger
+    step fraction); ViT tower OFF — bs128 384x128 encode 27.30->27.10 /
+    27.24->27.27 ms, a wash (its wider [25216, 3072] slab already
+    amortizes the XLA epilogue better, and the custom-call boundary
+    gives the win back)."""
     if override is None:
-        override = os.environ.get("TEXTREID_FUSED_INT8_FFN", "off") == "on"
+        env = os.environ.get("TEXTREID_FUSED_INT8_FFN", "")
+        override = default if env not in ("on", "off") else env == "on"
     if not override or jax.default_backend() != "tpu":
         return False
     from ..ops.int8_mm_pallas import ffn_eligible
@@ -365,7 +375,8 @@ def _fused_ffn_wanted(tower, site_prefix: str, override=None) -> bool:
 
 
 def int8_block_apply(h, tower, site_prefix: str, heads: int, fdt,
-                     causal: bool = False, fused_ffn=None):
+                     causal: bool = False, fused_ffn=None,
+                     fused_ffn_default: bool = False):
     """One TransformerBlock in int8-dataflow form (shared by the ViT and
     text towers; the residual stream ``h`` stays at the tower dtype)."""
     q8, rq = _prequant(h, tower.scales[f"{site_prefix}qkv"], "ln")
@@ -376,7 +387,7 @@ def int8_block_apply(h, tower, site_prefix: str, heads: int, fdt,
     h = h + _int8_matmul(tower, f"{site_prefix}out_proj", a8, ra, fdt)
 
     f8, rf = _prequant(h, tower.scales[f"{site_prefix}c_fc"], "ln")
-    if _fused_ffn_wanted(tower, site_prefix, fused_ffn):
+    if _fused_ffn_wanted(tower, site_prefix, fused_ffn, fused_ffn_default):
         from ..ops.int8_mm_pallas import fused_int8_ffn
 
         u1 = tower.units[f"{site_prefix}c_fc"]

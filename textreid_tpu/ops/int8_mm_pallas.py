@@ -30,8 +30,16 @@ bf16 tower rounds the matmul output to bf16 before the GELU; this kernel
 keeps it in f32 — strictly tighter numerics on a path already covered by
 calibration tolerances.)
 
-Measured verdict lives in the module-level A/B notes appended after the
-on-chip probe (`tools/int8_mm_probe.py`).
+Measured verdict (v5e, two runs of `tools/int8_ffn_ab.py` each, plus the
+op-level `tools/int8_mm_probe.py`): the per-site kernel LOSES standalone
+(0.89 vs XLA 0.675 ms at the c_fc shape — Mosaic's s8 epilogue is slower
+than XLA's fused one); the whole-FFN kernel wins the op probe slightly
+(0.897 vs 0.935 ms at block_rows=128) and at ENCODE level wins on the
+text tower (8.61→8.08 / 8.66→8.28 ms bs128×T105) while a wash on the
+ViT (27.30→27.10 / 27.24→27.27 ms).  Shipped per-tower: default ON for
+text, OFF for ViT (`int8_vit._fused_ffn_wanted`;
+``TEXTREID_FUSED_INT8_FFN=on|off`` forces both).  The per-site variant
+stays available for probing only.
 """
 
 from __future__ import annotations
